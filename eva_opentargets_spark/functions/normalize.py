@@ -1,0 +1,48 @@
+"""String/date normalization functions (SURVEY.md §2.7 F4-F12, §2.2 P5/P6),
+all as native column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def norm_mention(col: Column) -> Column:
+    """P5 — case normalization before every lookup
+    (cmat/trait_mapping/main.py:52,57; clinvar_to_evidence_strings.py:346,411),
+    plus whitespace collapsing so dictionary keys are stable."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def normalize_significance(col: Column) -> Column:
+    """P6 — split a raw clinical-significance-like string on '/', ', ', '; ';
+    lowercase; '_'->' '; dedup; sort (clinical_classification.py:73-78)."""
+    return F.array_sort(
+        F.array_distinct(
+            F.split(F.regexp_replace(F.lower(col), "_", " "), r"/|, |; ")
+        )
+    )
+
+
+def format_creation_date(col: Column) -> Column:
+    """F4 — regex-extract YYYY-MM-DD (clinvar_to_evidence_strings.py:195-201)."""
+    return F.regexp_extract(col, r"\d{4}-\d{2}-\d{2}", 0)
+
+
+def composite_key(*cols: Column, sep: str = "_") -> Column:
+    """F8 — chr_pos_ref_alt-style composite key (clinvar_measure.py:210-214)."""
+    return F.concat_ws(sep, *cols)
+
+
+def string_to_set(col: Column) -> Column:
+    """F9 — parse a "{'A', 'B'}" set literal into an array
+    (annotated_clinvar.py:312-313)."""
+    cleaned = F.regexp_replace(col, r"[{}']", "")
+    return F.when(cleaned == "", F.array().cast("array<string>")).otherwise(
+        F.transform(F.split(cleaned, ","), lambda x: F.trim(x))
+    )
+
+
+def pack_cell(*cols: Column) -> Column:
+    """F11 — '|'-packed candidate cell (output.py:56-66)."""
+    return F.concat_ws("|", *cols)

@@ -1,0 +1,89 @@
+"""Curation routing: unresolved mentions -> a curation table with ranked,
+packed candidate cells; resolved mentions -> the mappings table; plus the
+mapping-database merge.
+
+Reference analogs:
+  * output routing (cmat/trait_mapping/output.py:71-84)
+  * best-candidate ordering (W1: zooma.py:53-55 — (confidence, in_ontology,
+    is_current) descending)
+  * packed '|' cells + status labels (F11/F12: output.py:56-66,
+    bin/trait_mapping/create_table_for_manual_curation.py:49-57)
+  * top-50 cap (W3: create_table_for_manual_curation.py:96)
+  * row ordering by (notes, frequency) desc (W4: :103)
+  * previous-mappings anti-join merge (J7:
+    pipelines/export_curation_spreadsheet.nf:119-140)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import CURATION_MAX_CANDIDATES, TARGET_ONTOLOGY
+
+
+def rank_candidates(candidates: DataFrame) -> DataFrame:
+    """W1 — total order (confidence, in_ontology, is_current) desc, with
+    deterministic term_id tie-break (W5 lexicographic-first discipline)."""
+    conf_rank = (
+        F.when(F.col("confidence") == "HIGH", 4)
+        .when(F.col("confidence") == "GOOD", 3)
+        .when(F.col("confidence") == "MEDIUM", 2)
+        .otherwise(1)
+    )
+    w = Window.partitionBy("mention_norm").orderBy(
+        conf_rank.desc(),
+        F.col("in_ontology").desc(),
+        F.col("is_current").desc(),
+        F.col("term_id").asc(),
+    )
+    return candidates.withColumn("rank", F.row_number().over(w))
+
+
+def curation_table(
+    unresolved: DataFrame,
+    candidates: DataFrame,
+    distinct_mentions: DataFrame,
+    max_candidates: int = CURATION_MAX_CANDIDATES,
+    ontology: str = TARGET_ONTOLOGY,
+) -> DataFrame:
+    """One row per unresolved mention: frequency, priority note, and up to
+    `max_candidates` packed candidate cells ordered best-first."""
+    status = F.when(
+        F.col("in_ontology") & F.col("is_current"), F.lit(f"{ontology}_CURRENT")
+    ).when(
+        F.col("in_ontology") & ~F.col("is_current"), F.lit(f"{ontology}_OBSOLETE")
+    ).otherwise(F.lit("NOT_CONTAINED"))
+    cell = F.concat_ws("|", "term_id", "label_norm", "confidence", status)
+    ranked = (
+        rank_candidates(candidates.join(unresolved, "mention_norm", "inner"))
+        .filter(F.col("rank") <= max_candidates)
+        .withColumn("cell", cell)
+        .groupBy("mention_norm")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "cell"))).alias("rc"))
+        .select("mention_norm", F.col("rc.cell").alias("candidates"))
+    )
+    return (
+        unresolved.join(distinct_mentions, "mention_norm", "left")
+        .join(ranked, "mention_norm", "left")
+        .select(
+            "mention_norm",
+            F.coalesce("freq", F.lit(0)).alias("freq"),
+            F.coalesce("candidates", F.array().cast("array<string>")).alias("candidates"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("mention_norm").asc())
+    )
+
+
+def merge_mapping_databases(previous: DataFrame, new: DataFrame) -> DataFrame:
+    """J7 — keep previous mappings whose mention is absent from the new set,
+    union with the new set (export_curation_spreadsheet.nf:119-140:
+    `join -t$'\\t' ...` + `comm -23`), dedup like `sort -u` (SO2)."""
+    kept_previous = previous.join(new, "mention_norm", "left_anti")
+    return new.unionByName(kept_previous).distinct()
+
+
+def assert_no_duplicate_mappings(mappings: DataFrame) -> None:
+    """A4 on the mapping table (export_curation_spreadsheet.nf:174-189)."""
+    dups = mappings.groupBy("mention_norm", "iri").count().filter(F.col("count") > 1)
+    if dups.limit(1).count():
+        raise AssertionError("duplicate (mention, iri) rows in mapping table")

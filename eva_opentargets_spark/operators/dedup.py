@@ -1,0 +1,158 @@
+"""Deduplication operators for large-scale corpus pipelines: exact,
+MinHash+LSH, blocked token-set Jaccard, and SimHash.
+
+Engine-new (the reference's dedup surface is drop_duplicates/sort -u,
+SURVEY.md §2.4 A8); these are the scale-path versions a 100 TB corpus needs.
+
+Scale design:
+  * exact dedup — one hash-shuffle on a 32-char fingerprint, partial agg.
+  * MinHash — signatures are computed with a token explode + groupBy
+    (map-side partial min), then LSH banding turns O(n^2) similarity into
+    an equi-join on band keys; only same-bucket pairs are compared.
+  * blocked Jaccard — the exact verifier, run within blocks so the
+    candidate space stays bounded.
+All hashing is md5 (engine-portable; the DuckDB oracles in oracle.py use
+the identical formulas).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint
+
+N_MINHASHES = 8
+N_BANDS = 2  # 2 bands x 4 rows
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-fingerprint groups: (fingerprint, n_docs, canonical_doc_id)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c for c in ("lang", "source") if c in docs.columns],
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
+    """One row per doc with h0..h{n-1} = min over tokens of md5(i ':' tok).
+
+    Lexicographic min over fixed-width hex == min over uniform 128-bit ints,
+    so this is a valid MinHash family; identical formula in the oracle.
+    """
+    toks = doc_tokens(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """LSH banding: docs sharing any band key become candidate pairs
+    (doc_a < doc_b). The O(n^2) problem becomes a shuffle on band_key."""
+    sigs = minhash_signatures(docs, n_hashes)
+    rows_per_band = n_hashes // n_bands
+    bands = [
+        sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)])).alias(
+                "band_key"
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    all_bands = reduce(DataFrame.unionByName, bands)
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def blocked_jaccard_pairs(
+    docs: DataFrame, block_col: str = "source", threshold: float = 0.8
+) -> DataFrame:
+    """Exact token-set Jaccard within blocks: (doc_a, doc_b, jaccard>=threshold).
+
+    The intersection is computed with a token equi-join (shuffle on
+    (block, token)), never a cartesian product.
+    """
+    dt = doc_tokens(docs).select("doc_id", block_col, "tok").distinct()
+    sizes = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = dt.alias("a"), dt.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jacc = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jacc >= threshold)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash fingerprints: per-bit majority vote over token hashes.
+
+    Token hash = first 8 hex chars of md5 -> 32-bit int (JVM conv()); bit b
+    contributes +1/-1; sign of the sum is bit b of the fingerprint. Pure
+    column math (no UDF): explode tokens, explode bit positions via a
+    sequence, aggregate votes, reassemble bits.
+    """
+    toks = doc_tokens(docs).select("doc_id", "tok").distinct()
+    hashed = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    votes = (
+        hashed.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+        .withColumn("vote", F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def hamming_near_dups(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidates by Hamming distance, blocked on the top
+    16 bits so the self-join is an equi-join, not a cartesian product."""
+    blocked = sim.withColumn("block", F.shiftright("simhash", 16))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(ham <= max_hamming)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
+    )

@@ -1,0 +1,233 @@
+"""The entity-linking cascade over DISTINCT mentions.
+
+Reference analog: process_trait (cmat/trait_mapping/main.py:34-75) —
+exact match first (early exit), then fuzzy candidates (ZOOMA analog,
+zooma.py:84-126), then xref traversal (OxO analog, oxo.py:182-209), with
+the acceptance rules of cmat/trait_mapping/trait.py:56-81 and the
+obsolete-replacement chase of ols.py:111-134.
+
+Spark shape: every stage is a broadcast hash join between the (small,
+pre-deduplicated) distinct-mention table and the broadcast ontology
+dictionary; each stage's unresolved remainder flows to the next via
+left_anti joins (the priority-cascade pattern of
+cmat/consequence_prediction/repeat_expansion_variants/pipeline.py:95-162).
+No UDF is needed: scoring is JVM-side `levenshtein`, so the whole cascade
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import (
+    ACCEPT_XREF_DISTANCE,
+    FUZZY_MAX_LEV,
+    FUZZY_MIN_LEN_SLACK,
+    PRED_CANONICAL,
+    PRED_DIRECT,
+)
+
+LINK_COLUMNS = ["mention_norm", "term_id", "match_type", "confidence", "pred"]
+
+
+def _current_in_target(terms: DataFrame) -> DataFrame:
+    """Terms that are valid link targets: in the target ontology and not
+    obsolete (is_current_and_in_ontology, cmat/trait_mapping/ols.py:82-95)."""
+    return terms.filter(F.col("in_target_ontology") & ~F.col("is_obsolete"))
+
+
+def link_exact(mentions: DataFrame, terms: DataFrame) -> DataFrame:
+    """J1 — exact-match dictionary join with the uniqueness rule.
+
+    Case-insensitive label equality against current in-target terms; a
+    mention links only if it matches exactly ONE distinct term
+    (cmat/trait_mapping/ols.py:156-160: `len(candidates) == 1`).
+    min(term_id) is the deterministic representative (all term_ids are
+    equal when n == 1).
+    """
+    dict_df = _current_in_target(terms).select(F.lower("label").alias("label_norm"), "term_id")
+    return (
+        mentions.join(F.broadcast(dict_df), F.col("mention_norm") == F.col("label_norm"), "inner")
+        .groupBy("mention_norm")
+        .agg(F.count_distinct("term_id").alias("n_terms"), F.min("term_id").alias("term_id"))
+        .filter(F.col("n_terms") == 1)
+        .select(
+            "mention_norm",
+            "term_id",
+            F.lit("exact").alias("match_type"),
+            F.lit("HIGH").alias("confidence"),
+            F.lit(PRED_DIRECT).alias("pred"),
+        )
+    )
+
+
+def fuzzy_candidates(mentions: DataFrame, terms: DataFrame) -> DataFrame:
+    """J2 — candidate generation (ZOOMA analog). The reference consumes an
+    external service's candidates; this engine defines them natively:
+    Levenshtein distance between the mention and every dictionary label,
+    admitted when lev <= least(FUZZY_MAX_LEV, greatest(0, length(mention) - 4)).
+
+    Confidence tiers (ZoomaConfidence analog, zooma.py:12-29):
+    lev<=1 -> HIGH, lev==2 -> GOOD, lev==3 -> MEDIUM.
+    in_ontology / is_current carry the OLS semantics of zooma.py:109-124
+    (is_current is only meaningful for in-target terms).
+
+    Scale note: the join carries a length-band pre-filter
+    (|len(m)-len(label)| <= lev bound, a Levenshtein lower bound) so Catalyst
+    can avoid the full cartesian blow-up on large dictionaries; it never
+    changes results.
+    """
+    m = mentions.select("mention_norm").withColumn(
+        "max_lev",
+        F.least(
+            F.lit(FUZZY_MAX_LEV),
+            F.greatest(F.lit(0), F.length("mention_norm") - F.lit(FUZZY_MIN_LEN_SLACK)),
+        ),
+    )
+    t = terms.select(
+        "term_id",
+        F.lower("label").alias("label_norm"),
+        F.col("in_target_ontology").alias("in_ontology"),
+        (F.col("in_target_ontology") & ~F.col("is_obsolete")).alias("is_current"),
+        "is_obsolete",
+        "replaced_by",
+    )
+    joined = m.join(
+        F.broadcast(t),
+        (F.abs(F.length("mention_norm") - F.length("label_norm")) <= F.col("max_lev"))
+        & (F.levenshtein("mention_norm", "label_norm") <= F.col("max_lev")),
+        "inner",
+    )
+    lev = F.levenshtein("mention_norm", "label_norm")
+    return joined.select(
+        "mention_norm",
+        "term_id",
+        "label_norm",
+        "in_ontology",
+        "is_current",
+        "is_obsolete",
+        "replaced_by",
+        lev.alias("lev"),
+        F.when(lev <= 1, "HIGH").when(lev == 2, "GOOD").otherwise("MEDIUM").alias("confidence"),
+    )
+
+
+def link_fuzzy(candidates: DataFrame) -> DataFrame:
+    """Fuzzy acceptance rule (cmat/trait_mapping/trait.py:61-67): accept a
+    candidate iff in_ontology AND is_current AND (HIGH confidence OR the
+    candidate label equals the mention)."""
+    return candidates.filter(
+        F.col("in_ontology")
+        & F.col("is_current")
+        & ((F.col("confidence") == "HIGH") | (F.col("label_norm") == F.col("mention_norm")))
+    ).select(
+        "mention_norm",
+        "term_id",
+        F.lit("fuzzy").alias("match_type"),
+        "confidence",
+        F.lit(PRED_DIRECT).alias("pred"),
+    )
+
+
+def xref_gate(candidates: DataFrame) -> DataFrame:
+    """Mentions eligible for xref traversal (cmat/trait_mapping/main.py:59-63):
+    they must HAVE candidates but NONE of them current."""
+    return (
+        candidates.groupBy("mention_norm")
+        .agg(F.max(F.col("is_current").cast("int")).alias("any_current"))
+        .filter(F.col("any_current") == 0)
+        .select("mention_norm")
+    )
+
+
+def link_xref(
+    unresolved: DataFrame,
+    candidates: DataFrame,
+    xrefs: DataFrame,
+    terms: DataFrame,
+    accept_distance: int = ACCEPT_XREF_DISTANCE,
+) -> DataFrame:
+    """J3 — xref canonicalization (OxO analog).
+
+    Seeds are the HIGH-confidence candidate terms of gated mentions
+    (get_uris_for_oxo, main.py:18-31); an edge is accepted iff
+    distance == 1 and its destination is current in the target ontology
+    (trait.py:69-81). The xref table is a dimension -> broadcast joins;
+    bounded multi-hop traversal lives in operators/xref_bfs.py.
+    """
+    gated = unresolved.join(xref_gate(candidates), "mention_norm", "inner")
+    seeds = (
+        gated.join(candidates.filter(F.col("confidence") == "HIGH"), "mention_norm", "inner")
+        .select("mention_norm", F.col("term_id").alias("seed_id"))
+        .distinct()
+    )
+    edges = xrefs.filter(F.col("distance") == accept_distance).select(
+        F.col("src_curie").alias("seed_id"), F.col("dst_curie").alias("dst_id")
+    )
+    targets = _current_in_target(terms).select(F.col("term_id").alias("dst_id"))
+    return (
+        seeds.join(F.broadcast(edges), "seed_id", "inner")
+        .join(F.broadcast(targets), "dst_id", "inner")
+        .select(
+            "mention_norm",
+            F.col("dst_id").alias("term_id"),
+            F.lit("xref").alias("match_type"),
+            F.lit("HIGH").alias("confidence"),
+            F.lit(PRED_CANONICAL).alias("pred"),
+        )
+        .distinct()
+    )
+
+
+def link_replacement(unresolved: DataFrame, candidates: DataFrame, terms: DataFrame) -> DataFrame:
+    """J10 — obsolete-term replacement resolution (ols.py:111-134 +
+    create_table_for_manual_curation.py:24-37, depth 1): a mention whose
+    label-equal (lev==0) candidate is obsolete-with-replacement links to the
+    replacement term, provided the replacement is current in target."""
+    obsolete_exact = candidates.filter(
+        (F.col("lev") == 0) & F.col("is_obsolete") & F.col("replaced_by").isNotNull()
+    ).select("mention_norm", "replaced_by")
+    replacement = _current_in_target(terms).select(F.col("term_id").alias("replaced_by"), F.col("term_id"))
+    return (
+        unresolved.join(obsolete_exact, "mention_norm", "inner")
+        .join(F.broadcast(replacement), "replaced_by", "inner")
+        .select(
+            "mention_norm",
+            "term_id",
+            F.lit("replacement").alias("match_type"),
+            F.lit("HIGH").alias("confidence"),
+            F.lit(PRED_CANONICAL).alias("pred"),
+        )
+        .distinct()
+    )
+
+
+def link_cascade(
+    distinct_mentions: DataFrame, terms: DataFrame, xrefs: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full cascade. Returns (links, candidates, unresolved).
+
+    Stage order and early-exit mirror main.py:34-75: exact-resolved mentions
+    never reach the fuzzy stage, fuzzy-resolved never reach xref, etc. —
+    expressed as left_anti joins, so each stage's probe side shrinks.
+    The links table is tiny (<= |distinct mentions| * few candidates);
+    callers broadcast it back onto the occurrence table.
+    """
+    mentions = distinct_mentions.select("mention_norm")
+    exact = link_exact(mentions, terms)
+    unresolved1 = mentions.join(exact, "mention_norm", "left_anti")
+
+    cands = fuzzy_candidates(unresolved1, terms)
+    fuzzy = link_fuzzy(cands)
+    unresolved2 = unresolved1.join(fuzzy, "mention_norm", "left_anti")
+
+    xref = link_xref(unresolved2, cands, xrefs, terms)
+    unresolved3 = unresolved2.join(xref, "mention_norm", "left_anti")
+
+    repl = link_replacement(unresolved3, cands, terms)
+    unresolved4 = unresolved3.join(repl, "mention_norm", "left_anti")
+
+    links = (
+        exact.unionByName(fuzzy).unionByName(xref).unionByName(repl).select(*LINK_COLUMNS)
+    )
+    return links, cands, unresolved4

@@ -1,0 +1,123 @@
+"""Mention extraction over transcript text.
+
+Reference analog: trait-name extraction + stop-list filtering
+(cmat/trait_mapping/trait_names_parsing.py:8-53,
+cmat/clinvar_xml_io/clinvar_trait.py:36-60, main.py:104-105).
+
+Design (north_star): all detection runs through a vectorized pandas/Arrow
+UDF — no per-row Python — over conv_id-bucketed partitions, so this stage
+is narrow (no shuffle). The matcher is a token-gazetteer: text is split on
+single spaces, and unigrams/bigrams are matched against the candidate
+vocabulary. The UDF never mutates `text` (per-turn text-equality invariant).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+from ..config import EXCLUDED_TOOLS, STOPLIST
+
+MENTION_STRUCT = ArrayType(
+    StructType(
+        [
+            StructField("pos", IntegerType(), False),
+            StructField("mention_norm", StringType(), False),
+        ]
+    )
+)
+
+
+def turn_filter(excluded_tools: frozenset[str] = EXCLUDED_TOOLS) -> Column:
+    """The turn-level admission predicate (P3/P4-lite): non-empty text and
+    not produced by an excluded tool (cmat/clinvar_xml_io/filtering.py:4-12)."""
+    return (
+        F.col("text").isNotNull()
+        & (F.col("text") != "")
+        & (F.col("tool").isNull() | ~F.col("tool").isin(*sorted(excluded_tools)))
+    )
+
+
+def valid_turns(transcripts: DataFrame) -> DataFrame:
+    return transcripts.filter(turn_filter())
+
+
+def make_extract_udf(vocabulary: list[str]):
+    """Build the vectorized gazetteer UDF for a candidate-mention vocabulary.
+
+    Matching is deliberately simple and deterministic: tokens = text.split(' ')
+    (single-space, preserving empties so positions are stable); a unigram
+    match is a token equal to a vocab word after lowercasing; a bigram match
+    is `tok[i] + ' ' + tok[i+1]`. Both are emitted with pos = index of the
+    first token. Overlaps are allowed (the reference keeps every trait name
+    it sees). The vocabulary set is captured in the closure and shipped once
+    per executor — the Arrow-side analog of the broadcast dictionary.
+    """
+    unigrams = frozenset(w for w in vocabulary if " " not in w)
+    bigrams = frozenset(w for w in vocabulary if " " in w)
+
+    @F.pandas_udf(MENTION_STRUCT)
+    def extract(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            if text is None:
+                out.append([])
+                continue
+            toks = text.lower().split(" ")
+            hits = []
+            for i, tok in enumerate(toks):
+                if tok in unigrams:
+                    hits.append({"pos": i, "mention_norm": tok})
+                if i + 1 < len(toks):
+                    big = tok + " " + toks[i + 1]
+                    if big in bigrams:
+                        hits.append({"pos": i, "mention_norm": big})
+            out.append(hits)
+        return pd.Series(out)
+
+    return extract
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    vocabulary: list[str],
+    drop_stoplisted: bool = True,
+    stoplist: frozenset[str] = STOPLIST,
+) -> DataFrame:
+    """Turns -> one row per mention occurrence (conv_id, turn_idx, pos, mention_norm).
+
+    Narrow pipeline: filter -> pandas UDF -> explode; no shuffle. Stop-listed
+    mentions (NONSPECIFIC_TRAITS analog) are dropped here when requested;
+    callers that need stoplist *counts* pass drop_stoplisted=False and filter
+    downstream.
+    """
+    udf = make_extract_udf(vocabulary)
+    df = (
+        valid_turns(transcripts)
+        .select("conv_id", "turn_idx", F.explode(udf(F.col("text"))).alias("m"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("m.pos").alias("pos"),
+            F.col("m.mention_norm").alias("mention_norm"),
+        )
+    )
+    if drop_stoplisted:
+        df = df.filter(~F.col("mention_norm").isin(*sorted(stoplist)))
+    return df
+
+
+def distinct_mentions(mentions: DataFrame) -> DataFrame:
+    """A1 — the skew-defeating distinct-mention pre-aggregation
+    (cmat/trait_mapping/trait_names_parsing.py:24-53). Hot strings collapse
+    to one row each BEFORE any link scoring, replacing the reference's
+    lru_cache memoization with a shuffle whose partial (map-side) aggregation
+    bounds skew. freq counts distinct (conv_id, turn) pairs like the
+    reference counts distinct (RCV, name) tuples.
+    """
+    return mentions.groupBy("mention_norm").agg(
+        F.count_distinct("conv_id", "turn_idx").alias("freq"),
+        F.count("*").alias("occurrences"),
+        F.count_distinct("conv_id").alias("n_conversations"),
+    )

@@ -1,0 +1,72 @@
+"""Ontology-dictionary sources.
+
+Replaces the reference's entire external-service surface (OLS/ZOOMA/OxO,
+cmat/trait_mapping/{ols,zooma,oxo}.py + retry/backoff utils.py:13-20) with
+pre-materialized dimension tables that are broadcast to every executor.
+Loaders also cover the reference's TSV shapes:
+  * trait->ontology mapping TSV with '#ontology=' header
+    (cmat/output_generation/clinvar_to_evidence_strings.py:326-349)
+  * consequence TSV (cmat/consequence_prediction/common/consequence_type.py:17-51)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import fixtures
+from ..schemas import ONTOLOGY_TERMS, ONTOLOGY_XREFS, TRAIT_MAPPINGS
+
+
+def demo_terms(spark: SparkSession) -> DataFrame:
+    rows = [
+        (tid, iri, ont, label, None, in_t, obs, rep)
+        for tid, iri, ont, label, in_t, obs, rep in fixtures.ONTOLOGY_TERMS
+    ]
+    return spark.createDataFrame(rows, ONTOLOGY_TERMS)
+
+
+def demo_xrefs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(fixtures.ONTOLOGY_XREFS, ONTOLOGY_XREFS)
+
+
+def demo_previous_mappings(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(fixtures.PREVIOUS_MAPPINGS, TRAIT_MAPPINGS)
+
+
+def load_mapping_tsv(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
+    """Load a latest_mappings.tsv-shaped file; returns (df, target_ontology).
+
+    Mirrors load_ontology_mapping (clinvar_to_evidence_strings.py:326-349):
+    '#ontology=XXX' header names the target ontology; keys are lowercased.
+    """
+    raw = spark.read.text(path)
+    header = raw.filter(F.col("value").startswith("#ontology=")).limit(1).collect()
+    ontology = header[0]["value"].split("=", 1)[1].strip() if header else "EFO"
+    df = (
+        raw.filter(~F.col("value").startswith("#"))
+        .filter(F.col("value") != "")
+        .select(F.split("value", "\t").alias("f"))
+        .select(
+            F.lower(F.col("f")[0]).alias("mention_norm"),
+            F.col("f")[1].alias("iri"),
+            F.col("f")[2].alias("label"),
+        )
+    )
+    return df, ontology
+
+
+def terms_from_mappings(mappings: DataFrame, ontology: str = "EFO") -> DataFrame:
+    """Lift a curated mapping table into the ontology_terms shape so the
+    linking cascade can run against reference-derived fixtures."""
+    from ..functions.ontology import curie_from_iri
+
+    return mappings.select(
+        curie_from_iri(F.col("iri")).alias("term_id"),
+        F.col("iri"),
+        F.lit(ontology).alias("ontology"),
+        F.col("label"),
+        F.lit(None).cast("array<string>").alias("synonyms"),
+        F.lit(True).alias("in_target_ontology"),
+        F.lit(False).alias("is_obsolete"),
+        F.lit(None).cast("string").alias("replaced_by"),
+    ).dropDuplicates(["term_id", "label"])
