@@ -1,0 +1,167 @@
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": "headline_suite_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
+
+--scaling mode: run the SAME flagship job (KG pipeline over a replicated
+transcript corpus, ~100k turns) at two parallelism levels (local[8] vs
+local[32] — the sandbox stand-in for N vs 4N executors per the driver
+instruction) and report throughput at both plus scaling efficiency
+(BASELINE.json north_rule target >= 0.8). Results are appended to BENCH.md.
+
+Timing uses a noop-format write so every output column is materialized
+(a bare count() would let Catalyst prune the plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "kg_triples",
+    "kg_mentions",
+    "kg_links",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "events_sessionize",
+    "tpch_q1_pricing",
+]
+
+REPLICATE = 20  # scaling-corpus multiplier over sf0.1 transcripts
+
+
+def _materialize(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def replicated_transcripts(spark, sf_dir: str, factor: int = REPLICATE):
+    """Scale-up corpus: replicate the derived transcripts `factor` times with
+    salted conv_ids (same text distribution, factor x rows)."""
+    from pyspark.sql import functions as F
+
+    from eva_opentargets_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, sf_dir)
+    return (
+        t.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+        .withColumn("conv_id", F.concat_ws("_", "conv_id", F.col("rep").cast("string")))
+        .drop("rep")
+    )
+
+
+def flagship_turns_per_sec(spark, sf_dir: str, factor: int = REPLICATE) -> dict:
+    """The scaling-mode workload: full KG pipeline on the replicated corpus."""
+    from eva_opentargets_spark.pipeline import run_pipeline
+
+    transcripts = replicated_transcripts(spark, sf_dir, factor).persist()
+    n_turns = transcripts.count()  # also warms the cache out of the timing
+    res = run_pipeline(spark, transcripts)
+    secs = _materialize(res.triples)
+    transcripts.unpersist()
+    return {"n_turns": n_turns, "sec": round(secs, 3), "turns_per_sec": round(n_turns / secs, 1)}
+
+
+def run_headline(sf_dir: str, cpus: str) -> dict:
+    from eva_opentargets_spark.queries import QUERIES
+    from eva_opentargets_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    timings = {}
+    for name in HEADLINE:
+        timings[name] = round(_materialize(QUERIES[name](spark, sf_dir)), 3)
+    flag = flagship_turns_per_sec(spark, sf_dir)
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "turns_per_sec": flag["turns_per_sec"],
+        "flagship": flag,
+        "cpus": int(cpus),
+    }
+
+
+def run_scaling_child(sf_dir: str, cpus: str) -> None:
+    from eva_opentargets_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    out = flagship_turns_per_sec(spark, sf_dir)
+    spark.stop()
+    print("SCALING_RESULT " + json.dumps({"cpus": int(cpus), **out}))
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    results = {}
+    for cpus in (low, high):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("SCALING_RESULT "):
+                results[cpus] = json.loads(line[len("SCALING_RESULT "):])
+        if cpus not in results:
+            raise RuntimeError(f"scaling child {cpus} failed: {proc.stderr[-2000:]}")
+    tl, th = results[low]["turns_per_sec"], results[high]["turns_per_sec"]
+    efficiency = th / (tl * (high / low))
+    summary = {
+        "low": results[low],
+        "high": results[high],
+        "speedup": round(th / tl, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    _append_bench_md(sf_dir, summary)
+    return summary
+
+
+def _append_bench_md(sf_dir: str, s: dict) -> None:
+    lines = [
+        "",
+        f"## Scaling run (sf_dir={sf_dir}, corpus={s['low']['n_turns']} turns)",
+        "",
+        "| parallelism | wall sec | turns/sec |",
+        "|---|---|---|",
+        f"| local[{s['low']['cpus']}] (N) | {s['low']['sec']} | {s['low']['turns_per_sec']} |",
+        f"| local[{s['high']['cpus']}] (4N) | {s['high']['sec']} | {s['high']['turns_per_sec']} |",
+        "",
+        f"speedup N->4N: **{s['speedup']}x**; scaling efficiency "
+        f"(throughput_4N / (4 x throughput_N)): **{s['scaling_efficiency']}** "
+        "(target >= 0.8, BASELINE.json north_rule)",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
+        fh.write("\n".join(lines))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if "--scaling-child" in sys.argv:
+        run_scaling_child(sf_dir, sys.argv[sys.argv.index("--scaling-child") + 1])
+        return
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    print(json.dumps(run_headline(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

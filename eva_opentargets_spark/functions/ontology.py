@@ -58,8 +58,14 @@ def curie_from_iri(iri: Column) -> Column:
         return out
 
     underscore_db = canon(F.split(last, "_")[0])
+    ident_db = canon(second_last)
     return (
-        F.when(trimmed.contains("identifiers.org"), F.concat_ws(":", canon(second_last), last))
+        # unmapped dbs (medgen, mesh, ...) -> NULL, like the reference's
+        # early `return None` (ontology_uri.py:47-48,63-65)
+        F.when(
+            trimmed.contains("identifiers.org"),
+            F.when(ident_db.isNotNull(), F.concat_ws(":", ident_db, last)),
+        )
         .when(trimmed.contains("omim.org"), F.concat(F.lit("OMIM:"), last))
         .when(last.contains(":"), last)
         .when(last.contains("_") & underscore_db.isNotNull(),
@@ -70,6 +76,17 @@ def curie_from_iri(iri: Column) -> Column:
 
 def repair_curie_to_iri(curie: Column) -> Column:
     """F3 — 'MONDO:0020783' / 'HP_0045074' -> full IRI (ols.py:124-133:
-    split on ':' or '_', rebuild via the db template)."""
+    split on ':' or '_', rebuild via the db template).
+
+    Deliberate deviation: the reference passes only the numeric part into the
+    template, yielding e.g. obo/0020783 (prefix lost); we rebuild the proper
+    DB_ID local id for prefix-carrying ontologies (EFO/MONDO/HP) so the
+    repaired IRI is resolvable.
+    """
     parts = F.split(curie, "[:_]")
-    return iri_for(parts[0], parts[1])
+    db = parts[0]
+    local = F.when(
+        F.lower(db).isin("efo", "mondo", "hp"),
+        F.concat(F.upper(db), F.lit("_"), parts[1]),
+    ).otherwise(parts[1])
+    return iri_for(db, local)

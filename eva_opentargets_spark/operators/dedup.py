@@ -134,14 +134,12 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     hashed = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
     votes = (
         hashed.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
-        .withColumn("vote", F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, 1).otherwise(-1))
+        .withColumn("vote", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"))
         .groupBy("doc_id", "bit")
         .agg(F.sum("vote").alias("v"))
     )
     return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(0)
-        ).alias("simhash")
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END")).alias("simhash")
     )
 
 

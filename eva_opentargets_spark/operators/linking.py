@@ -155,9 +155,9 @@ def link_xref(
     (trait.py:69-81). The xref table is a dimension -> broadcast joins;
     bounded multi-hop traversal lives in operators/xref_bfs.py.
     """
-    gated = unresolved.join(xref_gate(candidates), "mention_norm", "inner")
+    gated = unresolved.join(F.broadcast(xref_gate(candidates)), "mention_norm", "inner")
     seeds = (
-        gated.join(candidates.filter(F.col("confidence") == "HIGH"), "mention_norm", "inner")
+        gated.join(F.broadcast(candidates.filter(F.col("confidence") == "HIGH")), "mention_norm", "inner")
         .select("mention_norm", F.col("term_id").alias("seed_id"))
         .distinct()
     )
@@ -189,7 +189,7 @@ def link_replacement(unresolved: DataFrame, candidates: DataFrame, terms: DataFr
     ).select("mention_norm", "replaced_by")
     replacement = _current_in_target(terms).select(F.col("term_id").alias("replaced_by"), F.col("term_id"))
     return (
-        unresolved.join(obsolete_exact, "mention_norm", "inner")
+        unresolved.join(F.broadcast(obsolete_exact), "mention_norm", "inner")
         .join(F.broadcast(replacement), "replaced_by", "inner")
         .select(
             "mention_norm",
@@ -210,24 +210,28 @@ def link_cascade(
     Stage order and early-exit mirror main.py:34-75: exact-resolved mentions
     never reach the fuzzy stage, fuzzy-resolved never reach xref, etc. —
     expressed as left_anti joins, so each stage's probe side shrinks.
-    The links table is tiny (<= |distinct mentions| * few candidates);
-    callers broadcast it back onto the occurrence table.
-    """
-    mentions = distinct_mentions.select("mention_norm")
-    exact = link_exact(mentions, terms)
-    unresolved1 = mentions.join(exact, "mention_norm", "left_anti")
 
-    cands = fuzzy_candidates(unresolved1, terms)
+    Scale shape: the distinct-mention table (the ONLY descendant of the big
+    transcript scan here) is persisted so the scan + extraction UDF runs
+    once, not once per cascade stage; every later table is dictionary-sized,
+    so each anti/semi join is broadcast-hinted — the whole cascade runs
+    without a single shuffle exchange.
+    """
+    mentions = distinct_mentions.select("mention_norm").persist()
+    exact = link_exact(mentions, terms)
+    unresolved1 = mentions.join(F.broadcast(exact), "mention_norm", "left_anti").persist()
+
+    cands = fuzzy_candidates(unresolved1, terms).persist()
     fuzzy = link_fuzzy(cands)
-    unresolved2 = unresolved1.join(fuzzy, "mention_norm", "left_anti")
+    unresolved2 = unresolved1.join(F.broadcast(fuzzy), "mention_norm", "left_anti").persist()
 
     xref = link_xref(unresolved2, cands, xrefs, terms)
-    unresolved3 = unresolved2.join(xref, "mention_norm", "left_anti")
+    unresolved3 = unresolved2.join(F.broadcast(xref), "mention_norm", "left_anti").persist()
 
     repl = link_replacement(unresolved3, cands, terms)
-    unresolved4 = unresolved3.join(repl, "mention_norm", "left_anti")
+    unresolved4 = unresolved3.join(F.broadcast(repl), "mention_norm", "left_anti")
 
     links = (
         exact.unionByName(fuzzy).unionByName(xref).unionByName(repl).select(*LINK_COLUMNS)
-    )
+    ).persist()
     return links, cands, unresolved4

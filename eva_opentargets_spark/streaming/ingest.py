@@ -1,0 +1,56 @@
+"""Structured Streaming ingest: incremental mention counting over a growing
+transcript table.
+
+The reference is pure batch (SURVEY.md §2.8) — this is the engine-new
+streaming surface: the same vectorized mention-extraction UDF applied to a
+file stream, with event-time windows + watermark for late turns. At scale
+the source is an Iceberg/Kafka stream; here a parquet directory exercised
+with Trigger.AvailableNow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.mentions import make_extract_udf, turn_filter
+from ..schemas import TRANSCRIPTS
+
+
+def stream_mention_counts(
+    spark: SparkSession,
+    input_path: str,
+    vocabulary: list[str],
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """readStream(parquet) -> extract mentions -> windowed counts.
+
+    Returns an unstarted streaming DataFrame; callers attach writeStream
+    (tests use format('memory') + trigger(availableNow=True)).
+    """
+    udf = make_extract_udf(vocabulary)
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_path)
+    return (
+        stream.filter(turn_filter())
+        .withWatermark("ts", watermark)
+        .select("ts", F.explode(udf(F.col("text"))).alias("m"))
+        .groupBy(F.window("ts", window).alias("w"), F.col("m.mention_norm").alias("mention_norm"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "mention_norm", "n")
+    )
+
+
+def run_available_now(streaming_df: DataFrame, query_name: str, checkpoint_dir: str):
+    """Drain all currently-available input, then stop (batch-like semantics,
+    streaming machinery — the per-partition resumability of checkpoint.py,
+    but engine-managed)."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

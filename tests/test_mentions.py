@@ -1,0 +1,103 @@
+"""Mention extraction unit tests.
+
+Mirrors the reference's trait-name parsing tests
+(tests/trait_mapping/test_main.py) plus the per-turn text-equality invariant
+from BASELINE.json input_hint.
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from eva_opentargets_spark import fixtures
+from eva_opentargets_spark.operators.mentions import (
+    distinct_mentions,
+    extract_mentions,
+    valid_turns,
+)
+
+VOCAB = fixtures.mention_vocabulary()
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_unigram_bigram_positions(spark):
+    t = _turns(spark, [("c1", 0, "user", "x hash join spark y", None, "2025-01-01 00:00:00")])
+    got = {(r.pos, r.mention_norm) for r in extract_mentions(t, VOCAB).collect()}
+    assert got == {(1, "hash join"), (3, "spark")}
+
+
+def test_case_normalization(spark):
+    # P5 — lookups are case-normalized (main.py:52,57)
+    t = _turns(spark, [("c1", 0, "user", "SPARK Hash Join", None, "2025-01-01 00:00:00")])
+    got = {r.mention_norm for r in extract_mentions(t, VOCAB).collect()}
+    assert got == {"spark", "hash join"}
+
+
+def test_overlapping_mentions_kept(spark):
+    # "sort merge" emits both the bigram and the nested unigram "merge"
+    t = _turns(spark, [("c1", 0, "user", "sort merge", None, "2025-01-01 00:00:00")])
+    got = {(r.pos, r.mention_norm) for r in extract_mentions(t, VOCAB).collect()}
+    assert got == {(0, "sort merge"), (1, "merge")}
+
+
+def test_stoplist_filter(spark):
+    # P2 — NONSPECIFIC_TRAITS analog (clinvar_trait.py:15-18)
+    t = _turns(spark, [("c1", 0, "user", "the spark a", None, "2025-01-01 00:00:00")])
+    kept = {r.mention_norm for r in extract_mentions(t, VOCAB).collect()}
+    assert kept == {"spark"}
+    all_m = {r.mention_norm for r in extract_mentions(t, VOCAB, drop_stoplisted=False).collect()}
+    assert all_m == {"the", "spark", "a"}
+
+
+def test_excluded_tool_filter(spark):
+    # P3 — submission-name exclusion analog (filtering.py:4-12)
+    t = _turns(
+        spark,
+        [
+            ("c1", 0, "tool", "spark", "redacted", "2025-01-01 00:00:00"),
+            ("c1", 1, "tool", "spark", "calc", "2025-01-01 00:00:01"),
+            ("c1", 2, "user", "", None, "2025-01-01 00:00:02"),
+            ("c1", 3, "user", None, None, "2025-01-01 00:00:03"),
+        ],
+    )
+    assert [r.turn_idx for r in valid_turns(t).collect()] == [1]
+    got = {(r.turn_idx, r.mention_norm) for r in extract_mentions(t, VOCAB).collect()}
+    assert got == {(1, "spark")}
+
+
+def test_text_equality_invariant(spark):
+    # north_rule: extraction must never mutate source text under stable
+    # (conv_id, turn_idx) ordering — compare sha256 before/after.
+    rows = [("c1", i, "user", f"spark window {i} merge", None, "2025-01-01 00:00:00") for i in range(5)]
+    t = _turns(spark, rows)
+
+    def corpus_sha(df):
+        rows = df.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
+        h = hashlib.sha256()
+        for r in rows:
+            h.update(f"{r.conv_id}|{r.turn_idx}|{r.text}".encode())
+        return h.hexdigest()
+
+    before = corpus_sha(t)
+    extract_mentions(t, VOCAB).count()  # run the pipeline
+    assert corpus_sha(t) == before
+
+
+def test_distinct_mention_preagg(spark):
+    # A1 — freq counts distinct (conv, turn) pairs (trait_names_parsing.py:24-53)
+    t = _turns(
+        spark,
+        [
+            ("c1", 0, "user", "spark spark", None, "2025-01-01 00:00:00"),
+            ("c1", 1, "user", "spark", None, "2025-01-01 00:00:01"),
+            ("c2", 0, "user", "spark", None, "2025-01-01 00:00:02"),
+        ],
+    )
+    dm = distinct_mentions(extract_mentions(t, VOCAB)).collect()
+    row = {r.mention_norm: r for r in dm}["spark"]
+    assert row.freq == 3 and row.occurrences == 4 and row.n_conversations == 2
