@@ -19,9 +19,11 @@ import time
 
 from pyspark.sql import SparkSession
 
-from .pipeline import compute_metrics, run_pipeline
-from .plans.checkpoint import run_with_checkpoint
-from .sources.transcripts import derive_transcripts, read_transcripts
+# absolute imports: spark-submit runs this file as a top-level script, with
+# the package itself shipped via --py-files
+from eva_opentargets_spark.pipeline import compute_metrics, run_pipeline
+from eva_opentargets_spark.plans.checkpoint import run_with_checkpoint
+from eva_opentargets_spark.sources.transcripts import derive_transcripts, read_transcripts
 
 
 def main(argv=None):
