@@ -59,6 +59,37 @@ ONTOLOGY_XREFS: list[tuple[str, str, int, str]] = [
     ("MONDO:0010", "MONDO:0012", 3, "mondo"),
 ]
 
+# Curated mention->term mapping table (latest_mappings.tsv shape, FIXTURES.md
+# §4): the direct-lookup dictionary of evidence generation
+# (clinvar_to_evidence_strings.py:326-349). "merge" maps to TWO terms (the
+# multi-mapping product case, FIXTURES.md example).
+CURATED_MAPPINGS: list[tuple[str, str, str]] = [
+    ("window", "http://www.ebi.ac.uk/efo/EFO_0005", "window"),
+    ("batch", "http://purl.obolibrary.org/obo/MONDO_0099", "batch syndrome"),
+    ("merge", "http://www.ebi.ac.uk/efo/EFO_0006", "merge variant a"),
+    ("merge", "http://purl.obolibrary.org/obo/MONDO_0098", "merge variant b"),
+    ("dup", "http://www.ebi.ac.uk/efo/EFO_0013", "duplication syndrome"),
+]
+
+# Event-type severity ranking (most-severe-consequence analog, A6:
+# cmat/consequence_prediction/common/vep.py:51-65).
+EVENT_SEVERITY: list[tuple[str, int]] = [
+    ("error", 1),
+    ("purchase", 2),
+    ("signup", 3),
+    ("click", 4),
+    ("view", 5),
+]
+
+
+def curated_mappings_sql() -> str:
+    return values_clause(CURATED_MAPPINGS, MAPPING_COLUMNS)
+
+
+def event_severity_sql() -> str:
+    return values_clause(EVENT_SEVERITY, ["event_type", "rank"])
+
+
 # Previous curated mapping DB for the J7 anti-join merge demo
 # (pipelines/export_curation_spreadsheet.nf:119-140): "spark" also exists in
 # the new mappings (new wins), "batch" exists only here (kept).

@@ -203,7 +203,10 @@ def link_replacement(unresolved: DataFrame, candidates: DataFrame, terms: DataFr
 
 
 def link_cascade(
-    distinct_mentions: DataFrame, terms: DataFrame, xrefs: DataFrame
+    distinct_mentions: DataFrame,
+    terms: DataFrame,
+    xrefs: DataFrame,
+    n_link_partitions: int = 1,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full cascade. Returns (links, candidates, unresolved).
 
@@ -217,7 +220,14 @@ def link_cascade(
     so each anti/semi join is broadcast-hinted — the whole cascade runs
     without a single shuffle exchange.
     """
-    mentions = distinct_mentions.select("mention_norm").persist()
+    # The distinct-mention table is dictionary-scale BY DESIGN (the A1
+    # pre-aggregation already collapsed the corpus); coalesce it so every
+    # cascade stage is a single-task job instead of shuffle-partition-many
+    # near-empty tasks. Raise n_link_partitions if distinct mentions ever
+    # reach the hundreds of millions.
+    mentions = (
+        distinct_mentions.select("mention_norm").coalesce(n_link_partitions).persist()
+    )
     exact = link_exact(mentions, terms)
     unresolved1 = mentions.join(F.broadcast(exact), "mention_norm", "left_anti").persist()
 

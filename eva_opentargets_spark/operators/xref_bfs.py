@@ -1,0 +1,59 @@
+"""Bounded BFS over the cross-reference graph.
+
+Reference analog: OxO's `distance` parameter — the xref graph is walked up
+to `-d 3` hops (bin/trait_mapping/process_traits.py:40, oxo.py:182-209) and
+each reachable target carries the hop count; acceptance later requires
+distance == 1 (trait.py:76).
+
+Spark shape (SURVEY.md §4): distance-k closure as <= max_distance rounds of
+self-join on a broadcast edge table — a driver-orchestrated loop, no
+GraphFrames dependency. Each round joins the (small) frontier against the
+broadcast edges, so no shuffle grows with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import MAX_XREF_DISTANCE
+
+
+def xref_closure(seeds: DataFrame, edges: DataFrame, max_distance: int = MAX_XREF_DISTANCE) -> DataFrame:
+    """seeds: (seed_id); edges: (src_curie, dst_curie) single hops.
+
+    Returns (seed_id, node, distance) for every node reachable within
+    max_distance hops, with the MINIMUM distance (first-visit BFS semantics:
+    once a node is reached it is never revisited at a larger distance).
+    """
+    e = F.broadcast(edges.select(F.col("src_curie").alias("node"), F.col("dst_curie").alias("nxt")).distinct())
+    visited = seeds.select(F.col("seed_id"), F.col("seed_id").alias("node"), F.lit(0).alias("distance"))
+    frontier = visited
+    for d in range(1, max_distance + 1):
+        nxt = (
+            frontier.join(e, "node", "inner")
+            .select("seed_id", F.col("nxt").alias("node"), F.lit(d).alias("distance"))
+            .distinct()
+            .join(visited.select("seed_id", "node"), ["seed_id", "node"], "left_anti")
+            .persist()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.filter(F.col("distance") > 0)
+
+
+def xref_targets_at_distance(
+    seeds: DataFrame, edges: DataFrame, terms: DataFrame, accept_distance: int = 1
+) -> DataFrame:
+    """Closure + acceptance: reachable nodes at exactly `accept_distance`
+    that are current in the target ontology (trait.py:69-81)."""
+    closure = xref_closure(seeds, edges, max_distance=max(accept_distance, MAX_XREF_DISTANCE))
+    targets = terms.filter(F.col("in_target_ontology") & ~F.col("is_obsolete")).select(
+        F.col("term_id").alias("node")
+    )
+    return (
+        closure.filter(F.col("distance") == accept_distance)
+        .join(F.broadcast(targets), "node", "inner")
+        .select("seed_id", F.col("node").alias("term_id"), "distance")
+    )

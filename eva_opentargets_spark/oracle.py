@@ -203,6 +203,35 @@ SELECT counter, value FROM (
   UNION ALL SELECT 'linked_xref', count(DISTINCT mention_norm)::BIGINT FROM xref_links
   UNION ALL SELECT 'linked_replacement', count(DISTINCT mention_norm)::BIGINT FROM repl_links
 )""",
+        # curated direct-lookup join (clinvar_to_evidence_strings.py:326-349);
+        # the CURIE conversion twin only needs the obo/efo IRI family used in
+        # the fixture (last path component, '_' -> ':').
+        "kg_curated_triples": p
+        + f"""
+, curated AS (
+  SELECT mention_norm,
+         replace(list_extract(string_split(iri, '/'), -1), '_', ':') AS obj
+  FROM {fixtures.curated_mappings_sql()}
+)
+SELECT DISTINCT
+       m.conv_id || ':' || CAST(m.turn_idx AS VARCHAR) || ':' || m.mention_norm AS subj,
+       'mapped_to' AS pred, c.obj,
+       m.conv_id, m.turn_idx, m.mention_norm AS mention_text,
+       'curated' AS match_type, 'HIGH' AS confidence
+FROM mentions m JOIN curated c USING (mention_norm)""",
+        "kg_grouped_by_term": p
+        + f"""
+, curated AS (
+  SELECT mention_norm,
+         replace(list_extract(string_split(iri, '/'), -1), '_', ':') AS term_id
+  FROM {fixtures.curated_mappings_sql()}
+)
+SELECT m.conv_id, m.turn_idx, c.term_id,
+       min(m.mention_norm) AS representative_mention,
+       array_to_string(list_sort(list(DISTINCT m.mention_norm)), ',') AS grouped,
+       count(*)::BIGINT AS n_occurrences
+FROM mentions m LEFT JOIN curated c USING (mention_norm)
+GROUP BY m.conv_id, m.turn_idx, c.term_id""",
     }
 
 
@@ -353,6 +382,15 @@ SELECT l_returnflag, l_linestatus,
        round(avg(l_quantity), 4) AS avg_qty,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+    # A6 — most-severe per group via broadcast rank dim + row_number
+    q["events_most_severe"] = f"""
+WITH ranks AS (SELECT * FROM {fixtures.event_severity_sql()})
+SELECT user_id, event_type, rank FROM (
+  SELECT e.user_id, e.event_type, r.rank,
+         row_number() OVER (PARTITION BY e.user_id ORDER BY r.rank ASC, e.event_type ASC) AS rn
+  FROM events e JOIN ranks r USING (event_type)
+) WHERE rn = 1"""
 
     q["orders_by_nation"] = """
 SELECT n.n_name AS nation, count(*)::BIGINT AS n_orders,

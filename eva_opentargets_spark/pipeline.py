@@ -42,12 +42,21 @@ def run_pipeline(
     terms: DataFrame | None = None,
     xrefs: DataFrame | None = None,
     vocabulary: list[str] | None = None,
+    persist_mentions: bool = False,
 ) -> PipelineResult:
     terms = terms if terms is not None else demo_terms(spark)
     xrefs = xrefs if xrefs is not None else demo_xrefs(spark)
     vocabulary = vocabulary or fixtures.mention_vocabulary()
 
     mentions_all = extract_mentions(transcripts, vocabulary, drop_stoplisted=False)
+    if persist_mentions:
+        # Off by default: caching the full occurrence table measurably SLOWED
+        # the pipeline at high core counts (first reader of the 6M-row cache
+        # paid a one-time multi-10s stall at local[32]); the narrow
+        # scan+extract recompute is cheaper than the cache. At full 100 TB
+        # scale, materialize the mention table to storage between stages
+        # instead of executor memory.
+        mentions_all = mentions_all.persist()
     mentions = mentions_all.filter(~F.col("mention_norm").isin(*sorted(STOPLIST)))
     distinct = distinct_mentions(mentions)
     links, candidates, unresolved = link_cascade(distinct, terms, xrefs)
@@ -77,9 +86,10 @@ def compute_metrics(spark: SparkSession, result: PipelineResult, run_id: str = "
         F.count("*").alias("turns_total"),
         F.sum((~turn_filter()).cast("long")).alias("turns_excluded"),
     ).first()
-    mentions_all = result.mentions_all.persist()
+    # single aggregation pass over the occurrence stream (no caching — see
+    # run_pipeline note on the occurrence-cache pathology)
     stop = sorted(STOPLIST)
-    mention_counts = mentions_all.agg(
+    mention_counts = result.mentions_all.agg(
         F.count("*").alias("mentions_total"),
         F.sum(F.col("mention_norm").isin(*stop).cast("long")).alias("mentions_stoplisted"),
     ).first()
@@ -101,7 +111,6 @@ def compute_metrics(spark: SparkSession, result: PipelineResult, run_id: str = "
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    mentions_all.unpersist()
     for mt in ("exact", "fuzzy", "xref", "replacement"):
         counters.append((f"linked_{mt}", int(by_type.get(mt, 0))))
     rows = [(run_id, "all", k, int(v)) for k, v in counters]

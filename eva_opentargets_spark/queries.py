@@ -108,6 +108,40 @@ def kg_metrics(spark, sf_dir):
     return compute_metrics(spark, res).select("counter", "value")
 
 
+def _curated_mappings(spark):
+    from .schemas import TRAIT_MAPPINGS
+
+    return spark.createDataFrame(fixtures.CURATED_MAPPINGS, TRAIT_MAPPINGS)
+
+
+def kg_curated_triples(spark, sf_dir):
+    from .operators.evidence import curated_mapping_join
+
+    return curated_mapping_join(kg_mentions(spark, sf_dir), _curated_mappings(spark))
+
+
+def kg_grouped_by_term(spark, sf_dir):
+    from .operators.evidence import group_mentions_by_term
+
+    grouped = group_mentions_by_term(kg_mentions(spark, sf_dir), _curated_mappings(spark))
+    return grouped.select(
+        "conv_id",
+        "turn_idx",
+        "term_id",
+        "representative_mention",
+        F.concat_ws(",", "grouped_mentions").alias("grouped"),
+        "n_occurrences",
+    )
+
+
+def events_most_severe(spark, sf_dir):
+    from .operators.cascade import most_severe
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_type")
+    ranks = spark.createDataFrame(fixtures.EVENT_SEVERITY, "event_type string, rank int")
+    return most_severe(ev, ["user_id"], ranks, "event_type")
+
+
 # --- training-data pipeline queries --------------------------------------
 
 
@@ -189,6 +223,9 @@ QUERIES = {
     "kg_mapping_merge": kg_mapping_merge,
     "kg_best_candidate": kg_best_candidate,
     "kg_metrics": kg_metrics,
+    "kg_curated_triples": kg_curated_triples,
+    "kg_grouped_by_term": kg_grouped_by_term,
+    "events_most_severe": events_most_severe,
     "text_stats": text_stats,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
