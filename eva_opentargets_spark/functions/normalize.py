@@ -46,3 +46,23 @@ def string_to_set(col: Column) -> Column:
 def pack_cell(*cols: Column) -> Column:
     """F11 — '|'-packed candidate cell (output.py:56-66)."""
     return F.concat_ws("|", *cols)
+
+
+def colon_to_vcf(col: Column) -> Column:
+    """F7 — 'chr:pos:ref:alt' -> 'chr pos . ref alt' (VEP input format,
+    cmat/consequence_prediction/snp_indel_variants/pipeline.py:31-43)."""
+    p = F.split(col, ":")
+    return F.concat_ws(" ", p[0], p[1], F.lit("."), p[2], p[3])
+
+
+def vcf_to_colon(col: Column) -> Column:
+    """F7 inverse — 'chr pos . ref alt' -> 'chr:pos:ref:alt'."""
+    p = F.split(col, " ")
+    return F.concat_ws(":", p[0], p[1], p[3], p[4])
+
+
+def has_ambiguous_bases(col: Column) -> Column:
+    """P9 — true when an allele contains non-ACGT bases; such variants are
+    skipped (cmat/output_generation/clinvar_to_evidence_strings.py:20,300-302,
+    bin/consequence_prediction/extract_variants_for_vep.py:14-22)."""
+    return col.rlike("[^ACGT]")

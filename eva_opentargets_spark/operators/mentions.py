@@ -108,6 +108,26 @@ def extract_mentions(
     return df
 
 
+def unique_mentions_per_turn(
+    transcripts: DataFrame,
+    vocabulary: list[str],
+    stoplist: frozenset[str] = STOPLIST,
+) -> DataFrame:
+    """One row per DISTINCT (conv_id, turn_idx, mention_norm) — the dedup
+    happens INSIDE each row (array_distinct over the extraction UDF's output)
+    before the explode, so the whole path is narrow: scan -> UDF ->
+    array ops -> explode, ZERO shuffles. This is the triple-emission input
+    (subj identity is per-turn, so per-turn uniqueness is all dedup needed).
+    """
+    udf = make_extract_udf(vocabulary)
+    names = F.array_distinct(F.transform(udf(F.col("text")), lambda m: m["mention_norm"]))
+    return (
+        valid_turns(transcripts)
+        .select("conv_id", "turn_idx", F.explode(names).alias("mention_norm"))
+        .filter(~F.col("mention_norm").isin(*sorted(stoplist)))
+    )
+
+
 def distinct_mentions(mentions: DataFrame) -> DataFrame:
     """A1 — the skew-defeating distinct-mention pre-aggregation
     (cmat/trait_mapping/trait_names_parsing.py:24-53). Hot strings collapse

@@ -27,22 +27,30 @@ TRIPLE_COLUMNS = [
 ]
 
 
-def emit_triples(mentions: DataFrame, links: DataFrame) -> DataFrame:
+def emit_triples(mentions: DataFrame, links: DataFrame, unique_per_turn: bool = False) -> DataFrame:
     """mentions: occurrence rows (conv_id, turn_idx, pos, mention_norm);
-    links: (mention_norm, term_id, match_type, confidence, pred)."""
-    return (
-        mentions.join(F.broadcast(links), "mention_norm", "inner")
-        .select(
-            F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"), "mention_norm").alias("subj"),
-            F.col("pred"),
-            F.col("term_id").alias("obj"),
-            "conv_id",
-            "turn_idx",
-            F.col("mention_norm").alias("mention_text"),
-            "match_type",
-            "confidence",
-        )
-        .dropDuplicates(["subj", "pred", "obj"])
+    links: (mention_norm, term_id, match_type, confidence, pred).
+
+    Dedup happens BEFORE the link join, on the narrow
+    (conv_id, turn_idx, mention_norm) key: repeated occurrences within a turn
+    are the only duplicate source (links are unique per mention x term).
+    Callers that can produce per-turn-unique mentions without a shuffle
+    (operators.mentions.unique_mentions_per_turn — array_distinct inside the
+    extraction row) should pass unique_per_turn=True, making the whole
+    triple path shuffle-free.
+    """
+    per_turn = mentions.select("conv_id", "turn_idx", "mention_norm")
+    if not unique_per_turn:
+        per_turn = per_turn.dropDuplicates(["conv_id", "turn_idx", "mention_norm"])
+    return per_turn.join(F.broadcast(links), "mention_norm", "inner").select(
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"), "mention_norm").alias("subj"),
+        F.col("pred"),
+        F.col("term_id").alias("obj"),
+        "conv_id",
+        "turn_idx",
+        F.col("mention_norm").alias("mention_text"),
+        "match_type",
+        "confidence",
     )
 
 

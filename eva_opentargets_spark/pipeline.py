@@ -18,7 +18,12 @@ from . import fixtures
 from .config import STOPLIST
 from .operators.curation import curation_table, merge_mapping_databases
 from .operators.linking import link_cascade
-from .operators.mentions import distinct_mentions, extract_mentions, turn_filter
+from .operators.mentions import (
+    distinct_mentions,
+    extract_mentions,
+    turn_filter,
+    unique_mentions_per_turn,
+)
 from .operators.triples import emit_triples
 from .sources.dictionary import demo_terms, demo_xrefs
 
@@ -60,7 +65,10 @@ def run_pipeline(
     mentions = mentions_all.filter(~F.col("mention_norm").isin(*sorted(STOPLIST)))
     distinct = distinct_mentions(mentions)
     links, candidates, unresolved = link_cascade(distinct, terms, xrefs)
-    triples = emit_triples(mentions, links)
+    # shuffle-free triple path: per-turn uniqueness established inside the
+    # extraction row (array_distinct), not via a cluster-wide dropDuplicates
+    per_turn = unique_mentions_per_turn(transcripts, vocabulary)
+    triples = emit_triples(per_turn, links, unique_per_turn=True)
     curation = curation_table(unresolved, candidates, distinct)
     return PipelineResult(
         transcripts=transcripts,
