@@ -48,6 +48,9 @@ ONTOLOGY_TERMS: list[tuple[str, str, str, str, bool, bool, str | None]] = [
     # fuzzy-only: label is Levenshtein-1 from vocab word "query"
     ("EFO:0015", "http://www.ebi.ac.uk/efo/EFO_0015", "EFO", "querys", True, False, None),
     ("EFO:0016", "http://www.ebi.ac.uk/efo/EFO_0016", "EFO", "customer group", True, False, None),
+    # normalized-tier only: label folds to "batch" (punctuation stripped);
+    # mention "batch" has no exact label match but resolves here
+    ("EFO:0018", "http://www.ebi.ac.uk/efo/EFO_0018", "EFO", "batch!", True, False, None),
 ]
 
 # (src_curie, dst_curie, distance, source)
@@ -146,8 +149,8 @@ def gazetteer_labels() -> list[str]:
 # Candidate-mention words that are NOT dictionary labels. In the reference,
 # candidate trait names come from the data itself, independent of the mapping
 # dictionary (cmat/trait_mapping/trait_names_parsing.py:8-53): "query" only
-# resolves via the Levenshtein fuzzy tier ("querys"), "batch" never resolves
-# (-> curation routing + the J7 previous-mappings merge).
+# resolves via the Levenshtein fuzzy tier ("querys"); "batch" resolves only
+# at the normalized tier ("batch!" folds to "batch").
 EXTRA_MENTION_WORDS: list[str] = ["query", "batch"]
 
 

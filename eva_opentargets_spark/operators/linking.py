@@ -61,6 +61,34 @@ def link_exact(mentions: DataFrame, terms: DataFrame) -> DataFrame:
     )
 
 
+def _fold(col):
+    """Normalization fold: lowercase, punctuation -> space, collapse
+    whitespace (the SURVEY §7.2 'normalized match' tier: casefold +
+    punctuation/whitespace fold)."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " "), r"\s+", " "))
+
+
+def link_normalized(mentions: DataFrame, terms: DataFrame) -> DataFrame:
+    """Normalized-match tier: like J1 but on punctuation/whitespace-folded
+    strings, with the same uniqueness rule. Runs on the exact tier's
+    remainder; match_type='normalized' (FIXTURES.md §6)."""
+    dict_df = _current_in_target(terms).select(_fold(F.col("label")).alias("label_fold"), "term_id")
+    return (
+        mentions.withColumn("mention_fold", _fold(F.col("mention_norm")))
+        .join(F.broadcast(dict_df), F.col("mention_fold") == F.col("label_fold"), "inner")
+        .groupBy("mention_norm")
+        .agg(F.count_distinct("term_id").alias("n_terms"), F.min("term_id").alias("term_id"))
+        .filter(F.col("n_terms") == 1)
+        .select(
+            "mention_norm",
+            "term_id",
+            F.lit("normalized").alias("match_type"),
+            F.lit("HIGH").alias("confidence"),
+            F.lit(PRED_DIRECT).alias("pred"),
+        )
+    )
+
+
 def fuzzy_candidates(mentions: DataFrame, terms: DataFrame) -> DataFrame:
     """J2 — candidate generation (ZOOMA analog). The reference consumes an
     external service's candidates; this engine defines them natively:
@@ -229,7 +257,10 @@ def link_cascade(
         distinct_mentions.select("mention_norm").coalesce(n_link_partitions).persist()
     )
     exact = link_exact(mentions, terms)
-    unresolved1 = mentions.join(F.broadcast(exact), "mention_norm", "left_anti").persist()
+    unresolved0 = mentions.join(F.broadcast(exact), "mention_norm", "left_anti").persist()
+
+    normalized = link_normalized(unresolved0, terms)
+    unresolved1 = unresolved0.join(F.broadcast(normalized), "mention_norm", "left_anti").persist()
 
     cands = fuzzy_candidates(unresolved1, terms).persist()
     fuzzy = link_fuzzy(cands)
@@ -242,6 +273,10 @@ def link_cascade(
     unresolved4 = unresolved3.join(F.broadcast(repl), "mention_norm", "left_anti")
 
     links = (
-        exact.unionByName(fuzzy).unionByName(xref).unionByName(repl).select(*LINK_COLUMNS)
+        exact.unionByName(normalized)
+        .unionByName(fuzzy)
+        .unionByName(xref)
+        .unionByName(repl)
+        .select(*LINK_COLUMNS)
     ).persist()
     return links, cands, unresolved4

@@ -30,6 +30,7 @@ def check_tally(totals: dict[str, int]) -> None:
     either linked by exactly one stage or unmapped."""
     linked = (
         totals.get("linked_exact", 0)
+        + totals.get("linked_normalized", 0)
         + totals.get("linked_fuzzy", 0)
         + totals.get("linked_xref", 0)
         + totals.get("linked_replacement", 0)

@@ -76,7 +76,19 @@ exact_links AS (
   SELECT mention_norm, term_id, 'exact' AS match_type, 'HIGH' AS confidence, 'mapped_to' AS pred
   FROM exact_agg WHERE n_terms = 1
 ),
-un1 AS (SELECT m.* FROM dm m ANTI JOIN exact_links e USING (mention_norm)),
+un0 AS (SELECT m.* FROM dm m ANTI JOIN exact_links e USING (mention_norm)),
+norm_links AS (
+  SELECT mention_norm, term_id, 'normalized' AS match_type, 'HIGH' AS confidence,
+         'mapped_to' AS pred
+  FROM (
+    SELECT m.mention_norm, count(DISTINCT t.term_id) AS n_terms, min(t.term_id) AS term_id
+    FROM un0 m JOIN cur_terms t
+      ON trim(regexp_replace(regexp_replace(lower(t.label), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))
+       = trim(regexp_replace(regexp_replace(m.mention_norm, '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))
+    GROUP BY m.mention_norm
+  ) WHERE n_terms = 1
+),
+un1 AS (SELECT m.* FROM un0 m ANTI JOIN norm_links n USING (mention_norm)),
 cands AS (
   SELECT u.mention_norm, t.term_id, lower(t.label) AS label_norm,
          t.in_target_ontology AS in_ontology,
@@ -123,7 +135,8 @@ repl_links AS (
 ),
 un4 AS (SELECT u.* FROM un3 u ANTI JOIN repl_links r USING (mention_norm)),
 links AS (
-  SELECT * FROM exact_links UNION ALL SELECT * FROM fuzzy_links
+  SELECT * FROM exact_links UNION ALL SELECT * FROM norm_links
+  UNION ALL SELECT * FROM fuzzy_links
   UNION ALL SELECT * FROM xref_links UNION ALL SELECT * FROM repl_links
 ),
 triples AS (
@@ -199,6 +212,7 @@ SELECT counter, value FROM (
   UNION ALL SELECT 'unmapped', count(*)::BIGINT FROM un4
   UNION ALL SELECT 'triples_emitted', count(*)::BIGINT FROM triples
   UNION ALL SELECT 'linked_exact', count(DISTINCT mention_norm)::BIGINT FROM exact_links
+  UNION ALL SELECT 'linked_normalized', count(DISTINCT mention_norm)::BIGINT FROM norm_links
   UNION ALL SELECT 'linked_fuzzy', count(DISTINCT mention_norm)::BIGINT FROM fuzzy_links
   UNION ALL SELECT 'linked_xref', count(DISTINCT mention_norm)::BIGINT FROM xref_links
   UNION ALL SELECT 'linked_replacement', count(DISTINCT mention_norm)::BIGINT FROM repl_links

@@ -119,7 +119,7 @@ def compute_metrics(spark: SparkSession, result: PipelineResult, run_id: str = "
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    for mt in ("exact", "fuzzy", "xref", "replacement"):
+    for mt in ("exact", "normalized", "fuzzy", "xref", "replacement"):
         counters.append((f"linked_{mt}", int(by_type.get(mt, 0))))
     rows = [(run_id, "all", k, int(v)) for k, v in counters]
     return spark.createDataFrame(rows, "run_id string, partition string, counter string, value long")

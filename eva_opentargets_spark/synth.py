@@ -42,7 +42,7 @@ PHRASE_POOL: list[tuple[str, int, list[tuple[str, str, str]]]] = [
     ("dup", 3, []),  # xref only at distance 2 -> unmapped
     ("query", 6, [("query", PRED_DIRECT, "EFO:0015")]),  # lev-1 fuzzy ("querys")
     ("querys", 2, [("querys", PRED_DIRECT, "EFO:0015")]),  # exact
-    ("batch", 4, []),  # never resolves -> curation
+    ("batch", 4, [("batch", PRED_DIRECT, "EFO:0018")]),  # normalized tier ("batch!")
     ("the", 20, []),  # stop-listed (NONSPECIFIC_TRAITS analog)
     ("stream filter", 5, [("stream filter", PRED_DIRECT, "EFO:0014")]),
 ]

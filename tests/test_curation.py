@@ -34,11 +34,11 @@ def test_curation_table_routing(spark, terms, xrefs):
     links, cands, unresolved = link_cascade(dm, terms, xrefs)
     table = curation_table(unresolved, cands, dm)
     rows = {r.mention_norm: r for r in table.collect()}
-    # finished mentions are not routed to curation (output.py:71-84)
-    assert set(rows) == {"dup", "batch"}
+    # finished mentions are not routed to curation (output.py:71-84);
+    # "batch" resolves at the normalized tier, "spark" at exact
+    assert set(rows) == {"dup"}
     # packed cell format (F11/F12): term|label|confidence|status
     assert rows["dup"].candidates == ["MONDO:0012|dup|HIGH|NOT_CONTAINED"]
-    assert rows["batch"].candidates == []
 
 
 def test_status_labels(spark, terms):

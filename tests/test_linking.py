@@ -89,11 +89,12 @@ def test_cascade_early_exit_and_partition(spark, terms, xrefs):
     links, cands, unresolved = link_cascade(dm, terms, xrefs)
     got = {(r.mention_norm, r.match_type) for r in links.collect()}
     assert ("spark", "exact") in got
+    assert ("batch", "normalized") in got  # "batch!" folds to "batch"
     assert ("merge", "fuzzy") in got and ("query", "fuzzy") in got
     assert ("vector", "xref") in got
     assert ("slow", "replacement") in got
     un = {r.mention_norm for r in unresolved.collect()}
-    assert un == {"dup", "batch"}
+    assert un == {"dup"}
     # mapped + unmapped partition the input (test_main.py:58-65 analog)
     linked = {m for m, _ in got}
     assert linked | un == set(names) and not linked & un
@@ -106,6 +107,7 @@ def test_cascade_early_exit_and_partition(spark, terms, xrefs):
         ("merge", {"EFO:0006", "EFO:0007"}),
         ("slow", {"EFO:0009"}),
         ("vector", {"EFO:0011"}),
+        ("batch", {"EFO:0018"}),
         ("dup", set()),
     ],
 )
