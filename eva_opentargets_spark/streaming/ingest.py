@@ -40,6 +40,50 @@ def stream_mention_counts(
     )
 
 
+def stream_triples(
+    spark: SparkSession,
+    input_path: str,
+    links: DataFrame,
+    vocabulary: list[str],
+    output_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming triple emission: new transcript files -> mention extraction
+    (same vectorized UDF as batch) -> broadcast join against a precomputed
+    link table -> parquet append. Exactly-once via the streaming checkpoint
+    (the engine-managed twin of plans/checkpoint.py). Returns the started
+    query; callers await/stop it.
+
+    Design note: the link table must be batch-precomputed (the cascade needs
+    corpus-wide distinct mentions); streaming handles the corpus-scale,
+    embarrassingly-parallel part — which is the right split at 10^12 turns.
+    """
+    from ..operators.triples import emit_triples
+
+    udf = make_extract_udf(vocabulary)
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(input_path)
+    mentions = (
+        stream.filter(turn_filter())
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.explode_outer(
+                F.array_distinct(F.transform(udf(F.col("text")), lambda m: m["mention_norm"]))
+            ).alias("mention_norm"),
+        )
+        .filter(F.col("mention_norm").isNotNull())
+    )
+    triples = emit_triples(mentions, links, unique_per_turn=True)
+    return (
+        triples.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(streaming_df: DataFrame, query_name: str, checkpoint_dir: str):
     """Drain all currently-available input, then stop (batch-like semantics,
     streaming machinery — the per-partition resumability of checkpoint.py,
