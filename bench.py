@@ -27,8 +27,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 HEADLINE = [
+    "kg_mentions",  # first: absorbs session warmup (codegen, python workers)
     "kg_triples",
-    "kg_mentions",
     "kg_links",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",

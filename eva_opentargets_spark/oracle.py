@@ -217,6 +217,18 @@ SELECT counter, value FROM (
   UNION ALL SELECT 'linked_xref', count(DISTINCT mention_norm)::BIGINT FROM xref_links
   UNION ALL SELECT 'linked_replacement', count(DISTINCT mention_norm)::BIGINT FROM repl_links
 )""",
+        "kg_annotated": p
+        + """
+, per_turn AS (
+  SELECT conv_id, turn_idx,
+         array_to_string(
+           list_sort(list(DISTINCT mention_text || '|' || obj || '|' || pred || '|' || match_type)),
+           ';') AS packed
+  FROM triples GROUP BY conv_id, turn_idx
+)
+SELECT t.conv_id, t.turn_idx, t.text,
+       coalesce(a.packed, '') AS annotations_packed
+FROM transcripts t LEFT JOIN per_turn a USING (conv_id, turn_idx)""",
         # curated direct-lookup join (clinvar_to_evidence_strings.py:326-349);
         # the CURIE conversion twin only needs the obo/efo IRI family used in
         # the fixture (last path component, '_' -> ':').

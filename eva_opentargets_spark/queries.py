@@ -19,6 +19,7 @@ from .operators.linking import (
     fuzzy_candidates,
     link_cascade,
     link_exact,
+    link_normalized,
 )
 from .operators.mentions import distinct_mentions, extract_mentions, valid_turns
 from .pipeline import compute_metrics, mappings_from_links, merge_mapping_databases, run_pipeline
@@ -66,6 +67,7 @@ def kg_fuzzy_candidates(spark, sf_dir):
     dm = kg_distinct_mentions(spark, sf_dir)
     terms = demo_terms(spark)
     unresolved = dm.join(link_exact(dm, terms), "mention_norm", "left_anti")
+    unresolved = unresolved.join(link_normalized(unresolved, terms), "mention_norm", "left_anti")
     return fuzzy_candidates(unresolved, terms).select(
         "mention_norm", "term_id", "label_norm", "in_ontology", "is_current", "lev", "confidence"
     )
@@ -131,6 +133,29 @@ def kg_grouped_by_term(spark, sf_dir):
         "representative_mention",
         F.concat_ws(",", "grouped_mentions").alias("grouped"),
         "n_occurrences",
+    )
+
+
+def kg_annotated(spark, sf_dir):
+    """S8 — enrichment write-back: originals + packed annotation cells
+    (array packed to a string so the value-hash comparison is portable)."""
+    from .operators.annotate import annotate_transcripts
+
+    res = _pipeline(spark, sf_dir)
+    annotated = annotate_transcripts(res.transcripts, res.triples)
+    # pack first, then sort the packed strings, so the order matches the
+    # oracle's plain string sort
+    packed = F.concat_ws(
+        ";",
+        F.array_sort(
+            F.transform(
+                "annotations",
+                lambda a: F.concat_ws("|", a["mention"], a["term_id"], a["pred"], a["match_type"]),
+            )
+        ),
+    )
+    return annotated.select(
+        "conv_id", "turn_idx", "text", packed.alias("annotations_packed")
     )
 
 
@@ -225,6 +250,7 @@ QUERIES = {
     "kg_metrics": kg_metrics,
     "kg_curated_triples": kg_curated_triples,
     "kg_grouped_by_term": kg_grouped_by_term,
+    "kg_annotated": kg_annotated,
     "events_most_severe": events_most_severe,
     "text_stats": text_stats,
     "dedup_exact": dedup_exact,

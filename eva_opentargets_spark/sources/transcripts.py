@@ -28,7 +28,11 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (cmat/clinvar_xml_io/filtering.py:4-12 analog) has work to do.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
+    # conv_id-hash repartition mirrors the production bucketed-table layout
+    # (write_transcripts below): the testdata is one parquet file (1-2 input
+    # splits), which would otherwise serialize the extraction UDF onto 2 cores.
+    n_parts = spark.sparkContext.defaultParallelism
+    return docs.repartition(n_parts, (F.col("doc_id") % N_CONVERSATIONS)).select(
         F.concat(F.lit("c"), F.lpad((F.col("doc_id") % N_CONVERSATIONS).cast("string"), 4, "0")).alias("conv_id"),
         (F.col("doc_id") / N_CONVERSATIONS).cast("int").alias("turn_idx"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("user"))
