@@ -30,9 +30,13 @@ HEADLINE = [
     "kg_mentions",  # first: absorbs session warmup (codegen, python workers)
     "kg_triples",
     "kg_links",
+    "kg_evidence",  # round 2: the full 3-way evidence product
+    "kg_gauntlet",  # round 2: one-pass failure gauntlet
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",  # round 2
     "ann_cosine_topk",
+    "ann_lsh_topk",  # round 2: the ANN scale path
     "events_sessionize",
     "tpch_q1_pricing",
 ]

@@ -37,6 +37,11 @@ REPLACEMENT_MAX_DEPTH = 1
 # Curation-spreadsheet candidate cap (bin/trait_mapping/create_table_for_manual_curation.py:96).
 CURATION_MAX_CANDIDATES = 50
 
+# Consequence-pairing ambiguity guard (cmat/output_generation/
+# clinvar_to_evidence_strings.py:23): an HGVS key mapping to more than this
+# many genes annotates nothing.
+MAX_TARGET_GENES = 3
+
 # Target ontology (the reference's EFO, pipelines/utils.nf #ontology= header).
 TARGET_ONTOLOGY = "EFO"
 

@@ -53,6 +53,28 @@ ONTOLOGY_TERMS: list[tuple[str, str, str, str, bool, bool, str | None]] = [
     ("EFO:0018", "http://www.ebi.ac.uk/efo/EFO_0018", "EFO", "batch!", True, False, None),
 ]
 
+# Term synonyms (round 2): the reference matches against synonym sets from
+# OLS payloads (eval side: cmat/output_generation/annotated_clinvar.py:161-170;
+# OLS terms carry 'synonyms'). The exact/normalized/fuzzy tiers match
+# against labels UNION synonyms with the SAME uniqueness rule:
+#   * "filter" / "join" — unambiguous synonym-exact matches        -> J1
+#   * "sort" — synonym of TWO terms: rejected at the exact tier
+#     (uniqueness rule), recovered at the fuzzy tier as a double
+#     link, like the ambiguous-label "merge" case                  -> J2
+TERM_SYNONYMS: list[tuple[str, str]] = [
+    ("EFO:0002", "join"),
+    ("EFO:0003", "sort"),
+    ("EFO:0004", "sort"),
+    ("EFO:0014", "filter"),
+]
+
+SYNONYM_COLUMNS = ["term_id", "synonym"]
+
+
+def synonyms_sql() -> str:
+    return values_clause(TERM_SYNONYMS, SYNONYM_COLUMNS)
+
+
 # (src_curie, dst_curie, distance, source)
 ONTOLOGY_XREFS: list[tuple[str, str, int, str]] = [
     ("MONDO:0010", "EFO:0011", 1, "mondo"),
@@ -73,6 +95,192 @@ CURATED_MAPPINGS: list[tuple[str, str, str]] = [
     ("merge", "http://purl.obolibrary.org/obo/MONDO_0098", "merge variant b"),
     ("dup", "http://www.ebi.ac.uk/efo/EFO_0013", "duplication syndrome"),
 ]
+
+# --- Record-model fixtures (round 2: evidence product, S5/J4, stars) -----
+
+# Review-status -> star rating, the reference's score_map verbatim
+# (cmat/clinvar_xml_io/clinical_classification.py:17-29). A record's review
+# status is picked deterministically by doc_id % len (records.py).
+REVIEW_STATUS_STARS: list[tuple[str, int]] = [
+    ("no assertion criteria provided", 0),
+    ("criteria provided, single submitter", 1),
+    ("criteria provided, conflicting classifications", 1),
+    ("criteria provided, multiple submitters, no conflicts", 2),
+    ("reviewed by expert panel", 3),
+    ("practice guideline", 4),
+    ("no classification provided", 0),
+]
+
+# Raw clinical-significance strings exercising the P6 normalization
+# (clinical_classification.py:73-78: split on '/', ', ', '; '; lowercase;
+# '_'->' '; dedup; sort) and the INVALID filter (:32-33 + valid_clinical_
+# significances). Index = doc_id % len.
+SIGNIFICANCE_RAW: list[str] = [
+    "Pathogenic",
+    "Benign/Likely benign",
+    "Uncertain significance",
+    "Pathogenic, risk_factor; Pathogenic",
+    "Likely benign",
+    # INVALID -> valid list empty -> fatal_no_clinical_significance
+    "no classifications from unflagged records",
+]
+
+INVALID_SIGNIFICANCES = frozenset({"no classifications from unflagged records"})
+
+# Consequence dictionary (S5: cmat/output_generation/consequence_type.py:17-51
+# TSV shape: variant_id, ensembl_gene_id, gene_symbol, so_term). Keys are
+# probed at the three J4 priority levels (clinvar_to_evidence_strings.py:
+# 266-318): rcv-accession analogs ('r<n>', the repeat-expansion route),
+# coordinate analogs ('v<n>'), and HGVS analogs ('h<n>', subject to the
+# MAX_TARGET_GENES=3 guard — 'h11' maps to 4 genes and must be rejected).
+CONSEQUENCES: list[tuple[str, str, str, str]] = [
+    ("r3", "ENSG0003", "GENE3", "SO:0001590"),
+    ("r7", "ENSG0007", "GENE7", "SO:0002165"),
+    ("v1", "ENSG0101", "CGENE1", "SO:0001583"),
+    ("v4", "ENSG0104", "CGENE4", "SO:0001627"),
+    ("v9", "ENSG0109", "CGENE9", "SO:0001619"),
+    ("v15", "ENSG0115", "CGENE15", "SO:0001583"),
+    ("v22", "ENSG0122", "CGENE22", "SO:0001574"),
+    ("v22", "ENSG0123", "CGENE22B", "SO:0001583"),
+    ("h2", "ENSG0202", "HGENE2", "SO:0001583"),
+    ("h5", "ENSG0205", "HGENE5", "SO:0001587"),
+    ("h5", "ENSG0206", "HGENE5B", "SO:0001583"),
+    ("h11", "ENSG0211", "HGENE11A", "SO:0001583"),
+    ("h11", "ENSG0212", "HGENE11B", "SO:0001583"),
+    ("h11", "ENSG0213", "HGENE11C", "SO:0001583"),
+    ("h11", "ENSG0214", "HGENE11D", "SO:0001583"),
+]
+
+CONSEQUENCE_COLUMNS = ["variant_id", "ensembl_gene_id", "gene_symbol", "so_term"]
+
+# Allele-origin patterns, indexed by doc_id % len — chosen to exercise every
+# branch of convert_allele_origins (clinvar_to_evidence_strings.py:369-380):
+# somatic-only, mixed (two groups), multi-germline, empty (one empty group).
+ORIGIN_PATTERNS: list[list[str]] = [
+    ["somatic"],
+    ["germline", "somatic"],
+    ["inherited", "germline"],
+    ["maternal"],
+    ["germline"],
+    ["de novo", "somatic"],
+    [],
+]
+
+
+def convert_allele_origins_py(origins: list[str]) -> list[tuple[str, bool]]:
+    """Python twin of the reference's convert_allele_origins
+    (clinvar_to_evidence_strings.py:369-380), used to precompute the oracle's
+    origin-group dimension and to cross-check the Spark array-logic twin
+    (operators/records.py) in tests. Returns [(group_csv, is_somatic)]."""
+    rest = sorted({o.lower() for o in origins} - {"somatic"})
+    groups: list[tuple[str, bool]] = []
+    if "somatic" in {o.lower() for o in origins}:
+        groups.append(("somatic", True))
+    if rest:
+        groups.append((",".join(rest), False))
+    return groups if groups else [("", False)]
+
+
+def normalize_significance_py(raw: str) -> list[str]:
+    """Python twin of P6 (clinical_classification.py:73-78), used to
+    precompute the oracle's per-residue significance constants."""
+    import re
+
+    return sorted(set(re.split("/|, |; ", raw.lower().replace("_", " "))))
+
+
+def valid_significances_py(raw: str) -> list[str]:
+    return [s for s in normalize_significance_py(raw) if s not in INVALID_SIGNIFICANCES]
+
+
+def consequences_sql() -> str:
+    return values_clause(CONSEQUENCES, CONSEQUENCE_COLUMNS)
+
+
+def review_status_sql() -> str:
+    return values_clause(REVIEW_STATUS_STARS, ["review_status", "stars"])
+
+
+# Gold-standard mention->term sets for the evaluation harness (A5
+# SetComparisonMetrics, set_metrics.py:27-86), designed so the engine's
+# actual links at any SF produce every reachable outcome category:
+# exact_match, cmat_superset ("sort" links 2, gold 1), cmat_subset
+# ("window"/"query" gold has an extra term), divergent_match ("merge"),
+# mismatch ("batch"), cmat_missing ("dup" never links), cv_missing (engine
+# links like "filter"/"slow" absent from gold), plus a J9 synonym-bridged
+# exact match ("table scan" via EFO:0104 -> EFO:0004).
+EVAL_GOLD: list[tuple[str, str]] = [
+    ("spark", "EFO:0001"),
+    ("hash join", "EFO:0002"),
+    ("merge", "EFO:0006"),
+    ("merge", "EFO:0096"),
+    ("sort", "EFO:0003"),
+    ("window", "EFO:0005"),
+    ("window", "EFO:0099"),
+    ("query", "EFO:0015"),
+    ("query", "EFO:0097"),
+    ("table scan", "EFO:0104"),
+    ("batch", "EFO:0098"),
+    ("dup", "EFO:0013"),
+]
+
+# J9 — synonym bridge (annotated_clinvar.py:161-170): EFO:0104 is a synonym
+# id canonicalized to EFO:0004 before set comparison.
+EVAL_BRIDGE: list[tuple[str, str]] = [
+    ("EFO:0104", "EFO:0004"),
+]
+
+
+def eval_gold_sql() -> str:
+    return values_clause(EVAL_GOLD, ["key", "term_id"])
+
+
+def eval_bridge_sql() -> str:
+    return values_clause(EVAL_BRIDGE, ["term_id", "canonical_id"])
+
+
+# F5/F6 — HGVS parse + repeat-classification cases with pinned expected
+# outputs (reference docstring examples, hgvs_variant.py:135 +
+# repeat_variant.py:25-31, plus structural-suffix and del-guard cases).
+# The oracle for hgvs_parse is this golden table verbatim: DuckDB's RE2
+# cannot express the (?=...) lookahead the pivot regex family needs, so the
+# expectations are pinned rather than recomputed (the key rows are
+# independently asserted in tests/test_hgvs.py against reference semantics).
+# Columns: hgvs, reference_sequence, sequence_type, variant_type, start,
+# stop, repeat_sequence, repeat_type, transcript_id
+HGVS_CASES: list[tuple] = [
+    ("NM_001256054.2(C9orf72):c.-45+63_-45+80GGGGCC(2_25)", "NM_001256054.2", "coding", None, 63, 80, "GGGGCC", "trinucleotide_repeat_expansion", "NM_001256054.2"),
+    ("NC_000001.10:g.100A>G", "NC_000001.10", "genomic", "substitution", 100, 100, "A", "short_tandem_repeat_expansion", None),
+    ("NM_1:c.100_200del", "NM_1", "coding", "deletion", 100, 200, None, None, "NM_1"),
+    ("NM_1:c.100_200dup", "NM_1", "coding", "duplication", 100, 200, None, "short_tandem_repeat_expansion", "NM_1"),
+    ("NM_1:c.100_200ins", "NM_1", "coding", "insertion", 100, 200, None, "short_tandem_repeat_expansion", "NM_1"),
+    ("NM_1:c.100_200delins", "NM_1", "coding", None, 100, 200, None, "short_tandem_repeat_expansion", "NM_1"),
+    ("NC_000004.11:g.3076606GCA[27_35]", "NC_000004.11", "genomic", None, 3076606, 3076606, "GCA", "trinucleotide_repeat_expansion", None),
+    ("NP_002964.3:p.Gln166(>=33)", "NP_002964.3", "protein", None, None, None, None, "trinucleotide_repeat_expansion", None),
+    ("ATXN8, (CAG)n REPEAT EXPANSION", None, None, None, None, None, None, "trinucleotide_repeat_expansion", None),
+    ("TNRC6A, 5-BP INS, TTTCA(n) REPEAT EXPANSION", None, None, None, None, None, None, "short_tandem_repeat_expansion", None),
+    ("NM_000044.4(AR):c.172_174CAG(7_34) (p.Gln66_Gln80del)", "NM_000044.4", "coding", None, 172, 174, "CAG", None, "NM_000044.4"),
+    ("NM_000044.4(AR):c.172_174CAG(7_34)", "NM_000044.4", "coding", None, 172, 174, "CAG", "trinucleotide_repeat_expansion", "NM_000044.4"),
+    ("NC_000012.11:g.112036755_112036823CTG(9_24)", "NC_000012.11", "genomic", None, 112036755, 112036823, "CTG", "trinucleotide_repeat_expansion", None),
+    ("not an hgvs at all", None, None, None, None, None, None, None, None),
+]
+
+HGVS_COLUMNS = [
+    "hgvs",
+    "reference_sequence",
+    "sequence_type",
+    "variant_type",
+    "start",
+    "stop",
+    "repeat_sequence",
+    "repeat_type",
+    "transcript_id",
+]
+
+
+def hgvs_cases_sql() -> str:
+    return values_clause(HGVS_CASES, HGVS_COLUMNS)
+
 
 # Event-type severity ranking (most-severe-consequence analog, A6:
 # cmat/consequence_prediction/common/vep.py:51-65).
@@ -142,8 +350,11 @@ def stoplist_sql() -> str:
 
 
 def gazetteer_labels() -> list[str]:
-    """All lowercase dictionary labels."""
-    return sorted({label.lower() for _, _, _, label, _, _, _ in ONTOLOGY_TERMS})
+    """All lowercase dictionary labels + synonyms (the full match surface)."""
+    return sorted(
+        {label.lower() for _, _, _, label, _, _, _ in ONTOLOGY_TERMS}
+        | {syn.lower() for _, syn in TERM_SYNONYMS}
+    )
 
 
 # Candidate-mention words that are NOT dictionary labels. In the reference,

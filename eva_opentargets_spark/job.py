@@ -7,9 +7,13 @@ Usage:
       --output /path/to/output \
       [--buckets 32] [--wave-size 8] [--sf-dir /root/testdata/sf0.001]
 
-Runs the full KG-construction pipeline with per-partition checkpoint/resume
-and writes triples + metrics + curation tables. If --transcripts is omitted,
-transcripts are derived from the --sf-dir documents table (sandbox mode).
+Single-execution design (round-2 fix): each conv_id-bucket wave runs the
+pipeline ONCE — triples, per-wave corpus counters and per-wave distinct-
+mention partials are all written from the same cached extraction, then the
+cache is released. After the waves, the GLOBAL distinct-mention table is
+re-aggregated from the (tiny) per-wave partials — additive because buckets
+partition conv_ids — and the linking cascade + curation run once at
+dictionary scale. Nothing re-scans the corpus after its wave.
 """
 
 from __future__ import annotations
@@ -17,12 +21,13 @@ from __future__ import annotations
 import argparse
 import time
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
-# absolute imports: spark-submit runs this file as a top-level script, with
-# the package itself shipped via --py-files
+from eva_opentargets_spark.operators.curation import curation_table
+from eva_opentargets_spark.operators.linking import link_cascade, unpersist_cascade
 from eva_opentargets_spark.pipeline import compute_metrics, run_pipeline
-from eva_opentargets_spark.plans.checkpoint import run_with_checkpoint
+from eva_opentargets_spark.plans.checkpoint import run_waves
+from eva_opentargets_spark.sources.dictionary import demo_terms, demo_xrefs
 from eva_opentargets_spark.sources.transcripts import derive_transcripts, read_transcripts
 
 
@@ -42,20 +47,74 @@ def main(argv=None):
         if args.transcripts
         else derive_transcripts(spark, args.sf_dir)
     )
-
+    terms, xrefs = demo_terms(spark), demo_xrefs(spark)
     run_id = args.run_id or f"run-{int(time.time())}"
-    manifest = run_with_checkpoint(
+
+    def build_wave(wave_turns):
+        res = run_pipeline(spark, wave_turns, terms=terms, xrefs=xrefs)
+        wave_metrics = compute_metrics(spark, res, run_id, partition="wave", corpus_only=True)
+        tables = {
+            "triples": res.triples,
+            "wave_metrics": wave_metrics,
+            "wave_distinct": res.distinct,
+        }
+        return tables, res.unpersist
+
+    manifest = run_waves(
         spark,
         transcripts,
         args.output,
-        lambda t: run_pipeline(spark, t).triples,
+        build_wave,
         n_buckets=args.buckets,
         wave_size=args.wave_size,
     )
 
-    res = run_pipeline(spark, transcripts)
-    compute_metrics(spark, res, run_id).write.mode("overwrite").parquet(f"{args.output}/metrics")
-    res.curation.write.mode("overwrite").parquet(f"{args.output}/curation")
+    # global distinct mentions from the per-wave partials: freq/occurrence
+    # counters are additive across waves because conv_id buckets are disjoint
+    global_distinct = (
+        spark.read.parquet(f"{args.output}/wave_distinct")
+        .groupBy("mention_norm")
+        .agg(
+            F.sum("freq").alias("freq"),
+            F.sum("occurrences").alias("occurrences"),
+            F.sum("n_conversations").alias("n_conversations"),
+        )
+    )
+    links, candidates, unresolved = link_cascade(global_distinct, terms, xrefs)
+    curation_table(unresolved, candidates, global_distinct).write.mode("overwrite").parquet(
+        f"{args.output}/curation"
+    )
+
+    # final metrics table: summed per-wave corpus counters + one set of
+    # link-grain counters from the global cascade
+    corpus_totals = (
+        spark.read.parquet(f"{args.output}/wave_metrics")
+        .groupBy("counter")
+        .agg(F.sum("value").alias("value"))
+        .select(F.lit(run_id).alias("run_id"), F.lit("all").alias("partition"), "counter", "value")
+    )
+    by_type = {
+        r["match_type"]: r["n"]
+        for r in links.select("mention_norm", "match_type")
+        .distinct()
+        .groupBy("match_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    link_rows = [
+        (run_id, "all", "mentions_distinct", global_distinct.count()),
+        (run_id, "all", "unmapped", unresolved.count()),
+    ] + [
+        (run_id, "all", f"linked_{mt}", int(by_type.get(mt, 0)))
+        for mt in ("exact", "normalized", "fuzzy", "xref", "replacement")
+    ]
+    link_metrics = spark.createDataFrame(
+        link_rows, "run_id string, partition string, counter string, value long"
+    )
+    corpus_totals.unionByName(link_metrics).write.mode("overwrite").parquet(
+        f"{args.output}/metrics"
+    )
+    unpersist_cascade(links)
     print(f"completed buckets: {sorted(manifest.completed())}")
     spark.stop()
 

@@ -1,0 +1,142 @@
+"""S5 + J4: the consequence dictionary and the 3-level priority pairing.
+
+Reference analogs:
+  * S5 — TSV consequence load into variant_id -> [(gene, so_term)] with
+    NA-gene rows dropped (cmat/output_generation/consequence_type.py:17-51)
+  * J4 — get_consequence_types (clinvar_to_evidence_strings.py:266-318):
+    probe the dictionary with (1) the RCV accession (repeat-expansion
+    route), else (2) the chr:pos:ref:alt coordinate id (only when the
+    measure has complete coordinates), else (3) the preferred HGVS id —
+    rejected entirely when it maps to more than MAX_TARGET_GENES genes.
+
+Spark shape: the dictionary is a broadcast dimension; each priority level
+is a broadcast inner join whose probe side is the previous level's
+left_anti remainder (shrinking probe, zero shuffles of the fact table).
+The record's payload columns ride through every join, so downstream
+consumers (the evidence product) never need a join-back on the turn key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import fixtures
+from ..config import MAX_TARGET_GENES
+from .cascade import guarded_lookup
+
+CONSEQUENCE_SCHEMA = "variant_id string, ensembl_gene_id string, gene_symbol string, so_term string"
+
+
+def demo_consequences(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(fixtures.CONSEQUENCES, CONSEQUENCE_SCHEMA)
+
+
+def load_consequences(spark: SparkSession, path: str) -> DataFrame:
+    """S5 — TSV loader in the consequence_type.py:17-51 shape: 4-5 tab
+    columns, short lines skipped, gene_id 'NA' rows dropped."""
+    raw = spark.read.option("sep", "\t").csv(path).toDF(
+        "variant_id", "ensembl_gene_id", "gene_symbol", "so_term", "transcript_id"
+    )
+    return raw.filter(
+        F.col("variant_id").isNotNull()
+        & F.col("so_term").isNotNull()
+        & (F.col("ensembl_gene_id") != "NA")
+    )
+
+
+_PAYLOAD = ["ensembl_gene_id", "gene_symbol", "so_term"]
+
+
+def consequence_match_flags(
+    records: DataFrame,
+    consequences: DataFrame,
+    max_target_genes: int = MAX_TARGET_GENES,
+) -> DataFrame:
+    """Per-RECORD consequence match info WITHOUT row multiplication: adds
+    matched_by ('REPEAT'/'SIMPLE'/'COMPLEX'/NULL) and n_consequences (genes
+    at the winning level, 0 when unmatched) via three broadcast left joins
+    against per-key gene counts. This is what the failure gauntlet needs —
+    existence + multiplicity — in one narrow pass (no explode, no groupBy
+    over the corpus)."""
+    counts = consequences.groupBy("variant_id").agg(F.count("*").alias("n"))
+    r = F.broadcast(counts.select(F.col("variant_id").alias("__rk"), F.col("n").alias("__rn")))
+    c = F.broadcast(counts.select(F.col("variant_id").alias("__ck"), F.col("n").alias("__cn")))
+    h = F.broadcast(
+        counts.filter(F.col("n") <= max_target_genes).select(
+            F.col("variant_id").alias("__hk"), F.col("n").alias("__hn")
+        )
+    )
+    out = (
+        records.join(r, records["rcv_key"] == F.col("__rk"), "left")
+        .join(c, records["coord_key"] == F.col("__ck"), "left")
+        .join(h, records["hgvs_key"] == F.col("__hk"), "left")
+    )
+    matched_by = (
+        F.when(F.col("__rn").isNotNull(), "REPEAT")
+        .when(F.col("__cn").isNotNull(), "SIMPLE")
+        .when(F.col("__hn").isNotNull(), "COMPLEX")
+    )
+    n_cons = F.coalesce(F.col("__rn"), F.col("__cn"), F.col("__hn"), F.lit(0)).cast("int")
+    return (
+        out.withColumn("matched_by", matched_by)
+        .withColumn("n_consequences", n_cons)
+        .drop("__rk", "__rn", "__ck", "__cn", "__hk", "__hn")
+    )
+
+
+def consequence_cascade(
+    records: DataFrame,
+    consequences: DataFrame,
+    max_target_genes: int = MAX_TARGET_GENES,
+    keep_unmatched: bool = True,
+) -> DataFrame:
+    """records (with rcv_key / coord_key / hgvs_key, possibly NULL) ->
+    one row per (record x consequence) with matched_by in
+    ('REPEAT', 'SIMPLE', 'COMPLEX') — the reference's level labels — plus,
+    when keep_unmatched, one row per unmatched record with NULL payload
+    (so the failure gauntlet can count skip_no_functional_consequences
+    without a second pass)."""
+    dim = F.broadcast(consequences.select("variant_id", *_PAYLOAD))
+    keys = consequences.select("variant_id").distinct()
+
+    def probe(facts: DataFrame, key_col: str, label: str, d=dim) -> tuple[DataFrame, DataFrame]:
+        hit = (
+            facts.join(d, facts[key_col] == d["variant_id"], "inner")
+            .drop("variant_id")
+            .withColumn("matched_by", F.lit(label))
+        )
+        rest = facts.join(
+            F.broadcast(keys.withColumnRenamed("variant_id", "__k")),
+            facts[key_col] == F.col("__k"),
+            "left_anti",
+        )
+        return hit, rest
+
+    # Level 1: RCV accession (repeat-expansion route — probed first so the
+    # repeat pipeline's annotations win over VEP's, :287-295).
+    l1, rem1 = probe(records, "rcv_key", "REPEAT")
+    # Level 2: coordinate id, only for measures with complete coordinates
+    # (rows without coords have NULL coord_key, which never equi-matches).
+    l2, rem2 = probe(rem1, "coord_key", "SIMPLE")
+    # Level 3: HGVS, with the MAX_TARGET_GENES ambiguity guard — keys mapping
+    # to more genes are dropped from the dictionary, so those records fall
+    # through to "no consequences" exactly like the reference (:311-315).
+    guarded = guarded_lookup(consequences.select("variant_id", *_PAYLOAD), "variant_id", max_target_genes)
+    guarded_keys = guarded.select("variant_id").distinct()
+    l3 = (
+        rem2.join(F.broadcast(guarded), rem2["hgvs_key"] == guarded["variant_id"], "inner")
+        .drop("variant_id")
+        .withColumn("matched_by", F.lit("COMPLEX"))
+    )
+    out = l1.unionByName(l2).unionByName(l3)
+    if keep_unmatched:
+        rem3 = rem2.join(
+            F.broadcast(guarded_keys.withColumnRenamed("variant_id", "__k")),
+            rem2["hgvs_key"] == F.col("__k"),
+            "left_anti",
+        )
+        for c in _PAYLOAD:
+            rem3 = rem3.withColumn(c, F.lit(None).cast("string"))
+        rem3 = rem3.withColumn("matched_by", F.lit(None).cast("string"))
+        out = out.unionByName(rem3)
+    return out

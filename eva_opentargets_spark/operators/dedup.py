@@ -23,8 +23,21 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import fingerprint
 
-N_MINHASHES = 8
-N_BANDS = 2  # 2 bands x 4 rows
+# Production-realistic LSH parameterization: 64 hashes in 16 bands of 4 rows
+# gives an S-curve threshold of (1/16)^(1/4) ~= 0.5 Jaccard — right for
+# near-dup detection at 0.8 — while keeping per-band collision rates sane
+# (round-1's 8/2 toy config over-generated candidates: each band of 4 hashes
+# over 500 short docs yielded 51k pairs).
+N_MINHASHES = 64
+N_BANDS = 16
+
+# Document-frequency cap for blocked Jaccard: tokens appearing in more than
+# this many docs of a block are excluded from the token SETS (both
+# intersection and union) before pairing. Without it, one hot token ("the")
+# in a 10^5-doc block creates O(df^2) join rows; with it, the join fan-out
+# per (block, token) is bounded by MAX_TOKEN_DF^2. The DuckDB oracle applies
+# the identical cap.
+MAX_TOKEN_DF = 256
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -91,14 +104,30 @@ def minhash_candidate_pairs(
 
 
 def blocked_jaccard_pairs(
-    docs: DataFrame, block_col: str = "source", threshold: float = 0.8
+    docs: DataFrame,
+    block_col: str = "source",
+    threshold: float = 0.8,
+    max_token_df: int = MAX_TOKEN_DF,
 ) -> DataFrame:
-    """Exact token-set Jaccard within blocks: (doc_a, doc_b, jaccard>=threshold).
+    """Token-set Jaccard within blocks over df-capped token sets:
+    (doc_a, doc_b, jaccard>=threshold).
 
     The intersection is computed with a token equi-join (shuffle on
-    (block, token)), never a cartesian product.
+    (block, token)), never a cartesian product; tokens with block-local
+    document frequency > max_token_df are dropped from the sets FIRST (they
+    carry negligible Jaccard signal and are the quadratic blow-up source —
+    round-1 verdict #5). Sizes are computed on the capped sets so the
+    Jaccard stays a true set Jaccard of the capped sets.
     """
     dt = doc_tokens(docs).select("doc_id", block_col, "tok").distinct()
+    if max_token_df is not None:
+        rare = (
+            dt.groupBy(block_col, "tok")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_token_df)
+            .select(block_col, "tok")
+        )
+        dt = dt.join(rare, [block_col, "tok"], "inner")
     sizes = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = dt.alias("a"), dt.alias("b")
     inter = (
@@ -152,5 +181,9 @@ def hamming_near_dups(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     return (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .filter(ham <= max_hamming)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
     )

@@ -1,5 +1,5 @@
-"""Evidence-generation-style operators: the curated-mapping join and the
-group-by-mapped-term aggregation.
+"""Evidence-generation-style operators: the curated-mapping join, the
+group-by-mapped-term aggregation, and the full three-way evidence product.
 
 Reference analogs:
   * the flagship dictionary join of evidence generation — every record
@@ -9,14 +9,23 @@ Reference analogs:
     lexicographically-first mention as the group representative, explode
     multi-mappings, keep unmapped mentions as NULL-term rows
     (clinvar_to_evidence_strings.py:383-423)
+  * J5 — one evidence string per (allele-origin group x disease group x
+    consequence) (:145-150), with germline/somatic routing (:207-215,
+    369-380) and the ~17-field null-stripped payload (:204-263)
+  * P4 — the ordered failure gauntlet with per-reason counters
+    (:83-176, report.py:27-37), computed as ONE when/otherwise reason
+    column + a single groupBy(reason).count()
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-from ..config import PRED_DIRECT
+from ..config import PRED_DIRECT, STOPLIST
 from ..functions.ontology import curie_from_iri
+
+def _empty_str_array() -> Column:
+    return F.array().cast("array<string>")
 
 
 def curated_mapping_join(mentions: DataFrame, mappings: DataFrame) -> DataFrame:
@@ -60,4 +69,157 @@ def group_mentions_by_term(mentions: DataFrame, mappings: DataFrame) -> DataFram
             F.sort_array(F.collect_set("mention_norm")).alias("grouped_mentions"),
             F.count("*").alias("n_occurrences"),
         )
+    )
+
+
+# --- The full evidence product (J5 + A2 in-row + routing + payload) --------
+
+
+def _mapping_map(mappings: list[tuple[str, str, str]]) -> Column:
+    """mention -> array<mapped-term last path component> as a literal map —
+    the broadcast analog of the driver-side dict the reference builds in
+    load_ontology_mapping (:326-349). diseaseFromSourceMappedId uses the
+    IRI's last path component, exactly like :256."""
+    by_mention: dict[str, list[str]] = {}
+    for mention, iri, _label in mappings:
+        by_mention.setdefault(mention.lower(), []).append(iri.rsplit("/", 1)[-1])
+    entries: list[Column] = []
+    for mention, terms in sorted(by_mention.items()):
+        entries.append(F.lit(mention))
+        entries.append(F.array(*[F.lit(t) for t in sorted(set(terms))]))
+    return F.create_map(*entries)
+
+
+def with_disease_groups(df: DataFrame, mappings: list[tuple[str, str, str]],
+                        stoplist: frozenset[str] = STOPLIST) -> DataFrame:
+    """A2 as pure in-row array algebra over the per-turn mention array `ms`
+    (zero shuffle): adds
+      valid_names         — distinct non-stoplisted mentions of the turn
+      cohort_phenotypes   — sorted CSV of valid_names (:247)
+      disease_groups      — array<struct(disease_from_source,
+                            disease_mapped_id)>: one entry per mapped term
+                            (representative = lexicographically-first
+                            mention mapping to it, :420-422) plus one entry
+                            per unmapped mention with NULL term (:404-410)
+      has_mapping         — contains_mapping analog (:423)
+    """
+    m = _mapping_map(mappings)
+    names = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform("ms", lambda x: x["mention_norm"]),
+                lambda n: ~n.isin(*sorted(stoplist)),
+            )
+        )
+    )
+    df = df.withColumn("valid_names", names)
+    terms_of = lambda n: F.coalesce(F.element_at(m, n), _empty_str_array())  # noqa: E731
+    terms_all = F.array_sort(
+        F.array_distinct(F.flatten(F.transform("valid_names", terms_of)))
+    )
+    rep_of = lambda t: F.array_min(  # noqa: E731
+        F.filter(F.col("valid_names"), lambda n: F.array_contains(terms_of(n), t))
+    )
+    mapped_groups = F.transform(
+        terms_all,
+        lambda t: F.struct(rep_of(t).alias("disease_from_source"), t.alias("disease_mapped_id")),
+    )
+    unmapped_groups = F.transform(
+        F.filter(F.col("valid_names"), lambda n: F.element_at(m, n).isNull()),
+        lambda n: F.struct(
+            n.alias("disease_from_source"), F.lit(None).cast("string").alias("disease_mapped_id")
+        ),
+    )
+    return (
+        df.withColumn("cohort_phenotypes", F.array_join("valid_names", ","))
+        .withColumn("disease_groups", F.concat(mapped_groups, unmapped_groups))
+        .withColumn("n_mapped_terms", F.size(terms_all))
+        .withColumn("has_mapping", F.size(terms_all) > 0)
+    )
+
+
+EVIDENCE_COLUMNS = [
+    "conv_id",
+    "turn_idx",
+    "datasource_id",
+    "datatype_id",
+    "allele_origins",
+    "allelic_requirements",
+    "clinical_significances",
+    "confidence",
+    "stars",
+    "literature",
+    "study_id",
+    "release_date",
+    "target_from_source_id",
+    "variant_consequence_id",
+    "matched_by",
+    "variant_id",
+    "variant_rs_id",
+    "variant_vcv_id",
+    "variant_hgvs_id",
+    "cohort_phenotypes",
+    "disease_from_source",
+    "disease_from_source_id",
+    "disease_mapped_id",
+]
+
+
+def evidence_product(with_consequences: DataFrame) -> DataFrame:
+    """J5 — the three-way product + payload. Input: one row per
+    (record x matched consequence) from consequences.consequence_cascade,
+    already carrying origin_groups / disease_groups / clinical columns
+    (records.with_record_attrs + with_disease_groups). The two remaining
+    dimensions explode IN-ROW (row-local cross join, :145-150); routing is
+    the is_somatic flag of the origin group (:207-215)."""
+    exploded = (
+        with_consequences.withColumn("og", F.explode("origin_groups"))
+        .withColumn("dg", F.explode("disease_groups"))
+    )
+    is_somatic = F.col("og.is_somatic")
+    return exploded.select(
+        "conv_id",
+        "turn_idx",
+        F.when(is_somatic, "eva_somatic").otherwise("eva").alias("datasource_id"),
+        F.when(is_somatic, "somatic_mutation").otherwise("genetic_association").alias("datatype_id"),
+        F.col("og.allele_origins").alias("allele_origins"),
+        "allelic_requirements",
+        "clinical_significances",
+        F.col("review_status").alias("confidence"),
+        "stars",
+        "literature",
+        "study_id",
+        "release_date",
+        F.col("ensembl_gene_id").alias("target_from_source_id"),
+        F.col("so_term").alias("variant_consequence_id"),
+        "matched_by",
+        F.col("coord_key").alias("variant_id"),
+        "variant_rs_id",
+        "variant_vcv_id",
+        F.col("hgvs_key").alias("variant_hgvs_id"),
+        "cohort_phenotypes",
+        F.col("dg.disease_from_source").alias("disease_from_source"),
+        F.concat(F.lit("MG:"), F.col("dg.disease_from_source")).alias("disease_from_source_id"),
+        F.col("dg.disease_mapped_id").alias("disease_mapped_id"),
+    )
+
+
+def gauntlet_reason(has_consequences: Column) -> Column:
+    """P4 — the ordered skip/fatal reason column (one per record), mirroring
+    the reference's failure modes 1-7 + the done_one/done_multiple split
+    (:83-176). `complete` = count of complete evidence strings the record
+    will generate (origin groups x mapped disease groups x consequences)."""
+    complete = (
+        F.size("origin_groups") * F.col("n_mapped_terms") * F.col("n_consequences")
+    )
+    return (
+        F.when(~F.col("valid"), "fatal_excluded_submission")
+        .when(F.col("n_classifications") > 1, "skip_multiple_clinical_classifications")
+        .when(F.size("valid_names") == 0, "fatal_no_valid_traits")
+        .when(~F.col("has_valid_significance"), "fatal_no_clinical_significance")
+        .when(~F.col("has_measure"), "skip_unsupported_variation")
+        .when(~has_consequences, "skip_no_functional_consequences")
+        .when(~F.col("has_mapping"), "skip_missing_efo_mapping")
+        .when(complete == 1, "done_one_complete_evidence_string")
+        .otherwise("done_multiple_complete_evidence_strings")
     )

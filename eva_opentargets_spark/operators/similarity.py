@@ -71,10 +71,17 @@ def hyperplane_weight(plane: int, dim: int):
 
 
 def lsh_signatures(embeddings: DataFrame, n_planes: int = 8,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """b-bit random-hyperplane signature per vector (sign of w_p . v)."""
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """b-bit random-hyperplane signature per vector (sign of w_p . v).
+
+    Pass `dim` explicitly in production plans — it is part of the table
+    contract. The .first() fallback is a convenience for ad-hoc use only
+    (it is a driver-side action inside an operator).
+    """
     v = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e"))
-    dim = len(v.select("e").first()["e"])
+    if dim is None:
+        dim = len(v.select("e").first()["e"])
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.aggregate(
@@ -91,10 +98,14 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8,
 
 
 def lsh_topk(embeddings: DataFrame, query_filter, k: int = 5, n_planes: int = 8,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: score only same-bucket pairs (equi-join on bucket)."""
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
+    """Approximate top-k: score only same-bucket pairs (equi-join on bucket).
+
+    This is the ANN default at scale; cosine_topk is the small-N exactness
+    verifier (round-1 verdict #6)."""
     v = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e"))
-    sigs = lsh_signatures(embeddings, n_planes, id_col, vec_col)
+    sigs = lsh_signatures(embeddings, n_planes, id_col, vec_col, dim=dim)
     vs = v.join(sigs, "vid")
     q = vs.filter(query_filter(F.col("vid"))).select(
         F.col("vid").alias("query_id"), F.col("e").alias("qe"), F.col("bucket")

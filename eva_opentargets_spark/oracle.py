@@ -67,9 +67,19 @@ dm AS (
 ),
 terms AS (SELECT * FROM {fixtures.terms_sql()}),
 cur_terms AS (SELECT * FROM terms WHERE in_target_ontology AND NOT is_obsolete),
+syns AS (SELECT * FROM {fixtures.synonyms_sql()}),
+surface AS (
+  -- labels UNION synonyms, carrying the term's metadata (linking.py
+  -- label_surface twin)
+  SELECT term_id, label, in_target_ontology, is_obsolete, replaced_by FROM terms
+  UNION ALL
+  SELECT s.term_id, s.synonym AS label, t.in_target_ontology, t.is_obsolete, t.replaced_by
+  FROM syns s JOIN terms t USING (term_id)
+),
+cur_surface AS (SELECT * FROM surface WHERE in_target_ontology AND NOT is_obsolete),
 exact_agg AS (
   SELECT m.mention_norm, count(DISTINCT t.term_id) AS n_terms, min(t.term_id) AS term_id
-  FROM dm m JOIN cur_terms t ON lower(t.label) = m.mention_norm
+  FROM dm m JOIN cur_surface t ON lower(t.label) = m.mention_norm
   GROUP BY m.mention_norm
 ),
 exact_links AS (
@@ -82,7 +92,7 @@ norm_links AS (
          'mapped_to' AS pred
   FROM (
     SELECT m.mention_norm, count(DISTINCT t.term_id) AS n_terms, min(t.term_id) AS term_id
-    FROM un0 m JOIN cur_terms t
+    FROM un0 m JOIN cur_surface t
       ON trim(regexp_replace(regexp_replace(lower(t.label), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))
        = trim(regexp_replace(regexp_replace(m.mention_norm, '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))
     GROUP BY m.mention_norm
@@ -98,14 +108,20 @@ cands AS (
          CASE WHEN levenshtein(u.mention_norm, lower(t.label)) <= 1 THEN 'HIGH'
               WHEN levenshtein(u.mention_norm, lower(t.label)) = 2 THEN 'GOOD'
               ELSE 'MEDIUM' END AS confidence
-  FROM un1 u JOIN terms t
+  FROM un1 u JOIN surface t
     ON levenshtein(u.mention_norm, lower(t.label))
        <= least(3, greatest(0, length(u.mention_norm) - 4))
 ),
 fuzzy_links AS (
-  SELECT mention_norm, term_id, 'fuzzy' AS match_type, confidence, 'mapped_to' AS pred
+  -- one link per (mention, term): best (lowest-lev) surface variant sets
+  -- the confidence (linking.link_fuzzy twin)
+  SELECT mention_norm, term_id, 'fuzzy' AS match_type,
+         CASE WHEN min(lev) <= 1 THEN 'HIGH' WHEN min(lev) = 2 THEN 'GOOD'
+              ELSE 'MEDIUM' END AS confidence,
+         'mapped_to' AS pred
   FROM cands
   WHERE in_ontology AND is_current AND (confidence = 'HIGH' OR label_norm = mention_norm)
+  GROUP BY mention_norm, term_id
 ),
 un2 AS (SELECT u.* FROM un1 u ANTI JOIN fuzzy_links f USING (mention_norm)),
 gate AS (
@@ -261,6 +277,234 @@ GROUP BY m.conv_id, m.turn_idx, c.term_id""",
     }
 
 
+def record_prefix(sf_dir: str = "") -> str:
+    """kg_prefix + the record-model CTE chain (operators/records.py twins):
+    per-turn record attributes, per-turn mention aggregates, disease groups
+    (A2), consequence match counts (J4 flags), origin groups (precomputed
+    via the convert_allele_origins Python twin)."""
+    from .operators.records import doc_id_sql, origin_groups_values_sql, record_attrs_sql
+
+    excluded = _in_list(EXCLUDED_TOOLS)
+    n_residues = len(fixtures.ORIGIN_PATTERNS)
+    return (
+        kg_prefix(sf_dir)
+        + f"""
+, recs0 AS (
+  SELECT conv_id, turn_idx,
+         (text IS NOT NULL AND text <> ''
+          AND (tool IS NULL OR tool NOT IN {excluded})) AS valid,
+         {doc_id_sql()} AS doc_id
+  FROM transcripts
+),
+recs AS (
+  SELECT conv_id, turn_idx, valid, doc_id, {record_attrs_sql('doc_id')}
+  FROM recs0
+),
+tm AS (SELECT DISTINCT conv_id, turn_idx, mention_norm FROM mentions),
+ptm AS (
+  SELECT conv_id, turn_idx, count(*) AS n_names,
+         array_to_string(list_sort(list(mention_norm)), ',') AS cohort_phenotypes
+  FROM tm GROUP BY 1, 2
+),
+curated AS (
+  SELECT mention_norm, list_extract(string_split(iri, '/'), -1) AS term, iri
+  FROM {fixtures.curated_mappings_sql()}
+),
+mapped AS (
+  SELECT DISTINCT t.conv_id, t.turn_idx, t.mention_norm, c.term
+  FROM tm t JOIN curated c USING (mention_norm)
+),
+tpt AS (
+  SELECT conv_id, turn_idx, count(DISTINCT term) AS n_mapped_terms
+  FROM mapped GROUP BY 1, 2
+),
+dgroups AS (
+  SELECT conv_id, turn_idx, min(mention_norm) AS disease_from_source,
+         term AS disease_mapped_id
+  FROM mapped GROUP BY conv_id, turn_idx, term
+  UNION ALL
+  SELECT t.conv_id, t.turn_idx, t.mention_norm, NULL
+  FROM tm t ANTI JOIN curated c USING (mention_norm)
+),
+cons AS (SELECT * FROM {fixtures.consequences_sql()}),
+cons_counts AS (SELECT variant_id, count(*) AS n FROM cons GROUP BY 1),
+og AS (SELECT * FROM {origin_groups_values_sql()}),
+ogc AS (SELECT origin_residue, count(*) AS n FROM og GROUP BY 1),
+recs2 AS (
+  SELECT r.*, coalesce(p.n_names, 0) AS n_names,
+         coalesce(p.cohort_phenotypes, '') AS cohort_phenotypes,
+         coalesce(tp.n_mapped_terms, 0) AS n_mapped_terms,
+         rr.n AS rn, cc.n AS cn, hh.n AS hn,
+         o.n AS n_origin_groups
+  FROM recs r
+  LEFT JOIN ptm p USING (conv_id, turn_idx)
+  LEFT JOIN tpt tp USING (conv_id, turn_idx)
+  LEFT JOIN cons_counts rr ON r.rcv_key = rr.variant_id
+  LEFT JOIN cons_counts cc ON r.coord_key = cc.variant_id
+  LEFT JOIN (SELECT * FROM cons_counts WHERE n <= 3) hh ON r.hgvs_key = hh.variant_id
+  JOIN ogc o ON (r.doc_id % {n_residues}) = o.origin_residue
+)
+"""
+    )
+
+
+_GAUNTLET_REASON = """
+CASE WHEN NOT valid THEN 'fatal_excluded_submission'
+     WHEN n_classifications > 1 THEN 'skip_multiple_clinical_classifications'
+     WHEN n_names = 0 THEN 'fatal_no_valid_traits'
+     WHEN NOT has_valid_significance THEN 'fatal_no_clinical_significance'
+     WHEN NOT has_measure THEN 'skip_unsupported_variation'
+     WHEN coalesce(rn, cn, hn) IS NULL THEN 'skip_no_functional_consequences'
+     WHEN n_mapped_terms = 0 THEN 'skip_missing_efo_mapping'
+     WHEN n_origin_groups * n_mapped_terms * coalesce(rn, cn, hn) = 1
+          THEN 'done_one_complete_evidence_string'
+     ELSE 'done_multiple_complete_evidence_strings' END
+"""
+
+
+def _cascade_union(src: str) -> str:
+    """The 3-level priority cascade as SQL (J4 twin of
+    consequences.consequence_cascade): REPEAT on rcv, SIMPLE on coord for
+    rcv-misses, COMPLEX on (guarded) hgvs for the remainder."""
+    return f"""
+  SELECT s.*, 'REPEAT' AS matched_by, k.ensembl_gene_id, k.gene_symbol, k.so_term
+  FROM {src} s JOIN cons k ON s.rcv_key = k.variant_id
+  UNION ALL
+  SELECT s.*, 'SIMPLE', k.ensembl_gene_id, k.gene_symbol, k.so_term
+  FROM {src} s JOIN cons k ON s.coord_key = k.variant_id WHERE s.rn IS NULL
+  UNION ALL
+  SELECT s.*, 'COMPLEX', k.ensembl_gene_id, k.gene_symbol, k.so_term
+  FROM {src} s JOIN cons k ON s.hgvs_key = k.variant_id
+  WHERE s.rn IS NULL AND s.cn IS NULL AND s.hn IS NOT NULL
+"""
+
+
+def record_queries() -> dict[str, str]:
+    n_residues = len(fixtures.ORIGIN_PATTERNS)
+    p = record_prefix()
+    return {
+        "kg_classification": p
+        + """
+SELECT conv_id, turn_idx, review_status, stars, clinical_significances,
+       n_classifications
+FROM recs WHERE valid""",
+        "kg_consequences": p
+        + f"""
+, cons_src AS (SELECT * FROM recs2 WHERE valid AND has_measure),
+cas AS (
+{_cascade_union('cons_src')}
+)
+SELECT conv_id, turn_idx, matched_by, ensembl_gene_id, gene_symbol, so_term
+FROM cas""",
+        "kg_gauntlet": p
+        + f"""
+SELECT {_GAUNTLET_REASON} AS reason, count(*)::BIGINT AS n_records
+FROM recs2 GROUP BY 1""",
+        "kg_evidence": p
+        + f"""
+, elig AS (
+  SELECT * FROM recs2
+  WHERE valid AND n_classifications = 1 AND n_names > 0
+    AND has_valid_significance AND has_measure
+),
+ecas AS (
+{_cascade_union('elig')}
+)
+SELECT e.conv_id, e.turn_idx,
+       CASE WHEN g.is_somatic THEN 'eva_somatic' ELSE 'eva' END AS datasource_id,
+       CASE WHEN g.is_somatic THEN 'somatic_mutation' ELSE 'genetic_association' END AS datatype_id,
+       g.allele_origins, e.allelic_requirements, e.clinical_significances,
+       e.review_status AS confidence, e.stars, e.literature, e.study_id,
+       e.release_date,
+       e.ensembl_gene_id AS target_from_source_id,
+       e.so_term AS variant_consequence_id, e.matched_by,
+       e.coord_key AS variant_id, e.variant_rs_id, e.variant_vcv_id,
+       e.hgvs_key AS variant_hgvs_id, e.cohort_phenotypes,
+       d.disease_from_source,
+       'MG:' || d.disease_from_source AS disease_from_source_id,
+       d.disease_mapped_id
+FROM ecas e
+JOIN og g ON (e.doc_id % {n_residues}) = g.origin_residue
+JOIN dgroups d ON d.conv_id = e.conv_id AND d.turn_idx = e.turn_idx""",
+        "kg_feedback": p
+        + """
+, fb_src AS (SELECT * FROM recs2 WHERE valid AND has_measure),
+vids AS (
+  SELECT conv_id, turn_idx, study_id, variant_rs_id AS bioentity
+  FROM fb_src WHERE variant_rs_id IS NOT NULL
+  UNION ALL
+  SELECT conv_id, turn_idx, study_id, variant_nsv_id
+  FROM fb_src WHERE variant_nsv_id IS NOT NULL
+)
+SELECT v.study_id AS study, v.bioentity, 'disease' AS property_type,
+       t.mention_norm AS property_value, c.iri AS semantic_tag,
+       'clinvar-xrefs' AS annotator
+FROM vids v
+JOIN tm t USING (conv_id, turn_idx)
+JOIN curated c USING (mention_norm)""",
+        "kg_eval_metrics": kg_prefix()
+        + f"""
+, gold AS (SELECT * FROM {fixtures.eval_gold_sql()}),
+bridge AS (SELECT * FROM {fixtures.eval_bridge_sql()}),
+got0 AS (SELECT mention_norm AS key, term_id FROM links),
+gkeys AS (SELECT DISTINCT key FROM gold UNION SELECT DISTINCT key FROM got0),
+cg AS (
+  SELECT g.key, list_sort(list(DISTINCT coalesce(b.canonical_id, g.term_id))) AS gold_terms
+  FROM gold g LEFT JOIN bridge b USING (term_id) GROUP BY g.key
+),
+ct AS (
+  SELECT t.key, list_sort(list(DISTINCT coalesce(b.canonical_id, t.term_id))) AS got_terms
+  FROM got0 t LEFT JOIN bridge b USING (term_id) GROUP BY t.key
+),
+pairs AS (
+  SELECT k.key,
+         coalesce(cg.gold_terms, []) AS l,
+         coalesce(ct.got_terms, []) AS r
+  FROM gkeys k LEFT JOIN cg USING (key) LEFT JOIN ct USING (key)
+),
+scored AS (
+  SELECT key,
+         len(list_intersect(r, l)) AS tp,
+         len(list_filter(r, x -> NOT list_contains(l, x))) AS fp,
+         len(list_filter(l, x -> NOT list_contains(r, x))) AS fn,
+         len(l) AS nl, len(r) AS nr
+  FROM pairs
+),
+cat AS (
+  SELECT *,
+         CASE WHEN nl = 0 AND nr > 0 THEN 'cv_missing'
+              WHEN nl > 0 AND nr = 0 THEN 'cmat_missing'
+              WHEN nl = 0 AND nr = 0 THEN 'both_missing'
+              WHEN fp > 0 AND fn = 0 THEN 'cmat_superset'
+              WHEN fp = 0 AND fn > 0 THEN 'cmat_subset'
+              WHEN fp = 0 AND fn = 0 THEN 'exact_match'
+              WHEN tp > 0 THEN 'divergent_match'
+              ELSE 'mismatch' END AS category,
+         CASE WHEN tp + fp + fn > 0 THEN 2.0 * tp / (2 * tp + fp + fn)
+              ELSE 0.0 END AS f1
+  FROM scored
+)
+SELECT category, count(*)::BIGINT AS count, round(avg(f1), 4) AS avg_f1_r,
+       sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp, sum(fn)::BIGINT AS fn
+FROM cat GROUP BY category""",
+        # F5/F6 golden table (see fixtures.HGVS_CASES for why this oracle is
+        # pinned rather than recomputed: RE2 lacks the lookahead the pivot
+        # regex family requires)
+        "hgvs_parse": f"SELECT * FROM {fixtures.hgvs_cases_sql()}",
+        "kg_metadata": kg_prefix()
+        + """
+SELECT * FROM (
+  SELECT 'schema_version' AS key, 'transcripts.v1' AS value
+  UNION ALL SELECT 'n_columns', '6'
+  UNION ALL SELECT 'n_turns', CAST(count(*) AS VARCHAR) FROM transcripts
+  UNION ALL SELECT 'n_conversations', CAST(count(DISTINCT conv_id) AS VARCHAR) FROM transcripts
+  UNION ALL SELECT 'min_ts', CAST(CAST(floor(epoch(min(ts))) AS BIGINT) AS VARCHAR) FROM transcripts
+  UNION ALL SELECT 'max_ts', CAST(CAST(floor(epoch(max(ts))) AS BIGINT) AS VARCHAR) FROM transcripts
+  UNION ALL SELECT 'max_turn_idx', CAST(max(turn_idx) AS VARCHAR) FROM transcripts
+)""",
+    }
+
+
 def doc_prefix() -> str:
     return """
 WITH doc_tokens AS (
@@ -293,48 +537,60 @@ FROM (
   FROM documents
 ) GROUP BY fingerprint"""
 
-    # MinHash signatures: 8 hash families h_i(tok) = md5(i || ':' || tok),
+    # MinHash signatures: N hash families h_i(tok) = md5(i || ':' || tok),
     # signature component = lexicographic min (uniform over fixed-width hex).
+    # Parameters imported from operators.dedup so the two sides cannot drift.
+    from .operators.dedup import MAX_TOKEN_DF, N_BANDS, N_MINHASHES
+
     q["dedup_minhash_signatures"] = (
         doc_prefix()
         + """
 SELECT doc_id,
 """
         + ",\n".join(
-            f"       min(md5('{i}:' || tok)) AS h{i}" for i in range(8)
+            f"       min(md5('{i}:' || tok)) AS h{i}" for i in range(N_MINHASHES)
         )
         + "\nFROM doc_tokens GROUP BY doc_id"
     )
 
-    # LSH banding: 2 bands x 4 rows; candidate pairs share a band key.
-    band0 = " || ".join(f"h{i}" for i in range(4))
-    band1 = " || ".join(f"h{i}" for i in range(4, 8))
+    # LSH banding: N_BANDS bands x (N/N_BANDS) rows; candidates share a band key.
+    rows_per_band = N_MINHASHES // N_BANDS
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5("
+        + " || ".join(f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + ") AS band_key FROM sigs"
+        for b in range(N_BANDS)
+    )
     q["dedup_minhash_pairs"] = (
         doc_prefix()
-        + f"""
+        + """
 , sigs AS (
   SELECT doc_id,
 """
-        + ",\n".join(f"         min(md5('{i}:' || tok)) AS h{i}" for i in range(8))
+        + ",\n".join(f"         min(md5('{i}:' || tok)) AS h{i}" for i in range(N_MINHASHES))
         + f"""
   FROM doc_tokens GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, 0 AS band, md5({band0}) AS band_key FROM sigs
-  UNION ALL
-  SELECT doc_id, 1 AS band, md5({band1}) AS band_key FROM sigs
+{band_selects}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
     )
 
-    # Blocked n-gram (token-set) Jaccard near-dup: block on source,
-    # exact set Jaccard >= 0.8 within a block.
+    # Blocked token-set Jaccard near-dup: block on source, df-capped token
+    # sets (tokens with block-local doc frequency > MAX_TOKEN_DF dropped from
+    # the sets first — the identical cap the engine applies), then exact set
+    # Jaccard >= 0.8 within a block.
     q["dedup_ngram_jaccard"] = (
         doc_prefix()
-        + """
-, dt AS (SELECT DISTINCT doc_id, source, tok FROM doc_tokens),
+        + f"""
+, dt0 AS (SELECT DISTINCT doc_id, source, tok FROM doc_tokens),
+rare AS (
+  SELECT source, tok FROM dt0 GROUP BY source, tok HAVING count(*) <= {MAX_TOKEN_DF}
+),
+dt AS (SELECT dt0.* FROM dt0 JOIN rare USING (source, tok)),
 sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -349,6 +605,39 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8"""
     )
 
+    # SimHash fingerprints: 32-bit token hash = first 8 hex chars of md5;
+    # per-bit +/-1 majority vote (identical formula to operators/dedup.py).
+    simhash_core = (
+        doc_prefix()
+        + """
+, toks AS (SELECT DISTINCT doc_id, tok FROM doc_tokens),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, (SELECT unnest(range(32)) AS bit) bits
+  GROUP BY doc_id, bit
+),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+    )
+    q["dedup_simhash"] = simhash_core + "SELECT doc_id, simhash FROM sim"
+
+    # Hamming near-dups blocked on the top 16 bits (equi-join, no cartesian).
+    q["dedup_simhash_pairs"] = (
+        simhash_core
+        + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sim a JOIN sim b
+  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    )
+
     # Brute-force cosine top-k: queries are vec_id < 10, k = 5.
     q["ann_cosine_topk"] = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -358,6 +647,42 @@ pairs AS (
            / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
               * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos
   FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 5"""
+
+    # Random-hyperplane LSH top-k (the ANN scale path): weights derived from
+    # md5 exactly as similarity.hyperplane_weight does — fmod matches Spark's
+    # double %; the addition order of the projection matches F.aggregate's
+    # left fold, so signs (and buckets) agree bit-for-bit.
+    n_planes, dim = 8, 64
+
+    def _w(p: int, d: int) -> str:
+        return (
+            f"(fmod(('0x' || substr(md5('{p}:{d}'), 1, 8))::BIGINT::DOUBLE, 2000.0)"
+            " - 1000.0) / 1000.0"
+        )
+
+    plane_projs = [
+        "(" + " + ".join(f"e[{d + 1}] * ({_w(p, d)})" for d in range(dim)) + ")"
+        for p in range(n_planes)
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN {plane_projs[p]} > 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes)
+    )
+    q["ann_lsh_topk"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vs AS (SELECT vec_id, e, ({bucket_expr})::BIGINT AS bucket FROM v),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos
+  FROM vs q JOIN vs c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
 FROM (
@@ -431,5 +756,6 @@ GROUP BY n.n_name"""
 
 def all_oracle_sql() -> dict[str, str]:
     out = dict(kg_queries())
+    out.update(record_queries())
     out.update(data_queries())
     return out

@@ -6,6 +6,14 @@ Reference analog: the annotation pipeline DAG
 (pipelines/generate_curation_spreadsheet.nf:43-56), collapsed into a single
 Spark plan: Nextflow chunking/concat/counter-summing become native
 partitioning and partial aggregation.
+
+Scan discipline (round-2 fix): the extraction pandas UDF is applied in ONE
+place (`extract_turn_mentions`); the occurrence view, the per-turn-distinct
+view, the metrics counters and the triple path all derive from that single
+`ms` array column. With persist_extracted=True (default) the narrow
+(conv_id, turn_idx, valid, ms) table is cached, so every downstream action
+costs zero additional corpus scans; at full 100 TB scale the same table is
+materialized to storage between stages instead of executor memory.
 """
 
 from __future__ import annotations
@@ -17,12 +25,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import fixtures
 from .config import STOPLIST
 from .operators.curation import curation_table, merge_mapping_databases
-from .operators.linking import link_cascade
+from .operators.linking import link_cascade, unpersist_cascade
 from .operators.mentions import (
     distinct_mentions,
-    extract_mentions,
+    extract_turn_mentions,
+    occurrences,
     turn_filter,
-    unique_mentions_per_turn,
+    unique_per_turn,
 )
 from .operators.triples import emit_triples
 from .sources.dictionary import demo_terms, demo_xrefs
@@ -31,6 +40,7 @@ from .sources.dictionary import demo_terms, demo_xrefs
 @dataclass
 class PipelineResult:
     transcripts: DataFrame
+    extracted: DataFrame  # one row per turn: (conv_id, turn_idx, valid, ms)
     mentions_all: DataFrame  # includes stop-listed (for counters)
     mentions: DataFrame
     distinct: DataFrame
@@ -40,6 +50,12 @@ class PipelineResult:
     triples: DataFrame
     curation: DataFrame
 
+    def unpersist(self) -> None:
+        """Release the executor-memory footprint of a finished run (the
+        extracted cache + the dictionary-scale cascade persists)."""
+        self.extracted.unpersist()
+        unpersist_cascade(self.links)
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -47,31 +63,31 @@ def run_pipeline(
     terms: DataFrame | None = None,
     xrefs: DataFrame | None = None,
     vocabulary: list[str] | None = None,
-    persist_mentions: bool = False,
+    persist_extracted: bool = True,
 ) -> PipelineResult:
     terms = terms if terms is not None else demo_terms(spark)
     xrefs = xrefs if xrefs is not None else demo_xrefs(spark)
     vocabulary = vocabulary or fixtures.mention_vocabulary()
 
-    mentions_all = extract_mentions(transcripts, vocabulary, drop_stoplisted=False)
-    if persist_mentions:
-        # Off by default: caching the full occurrence table measurably SLOWED
-        # the pipeline at high core counts (first reader of the 6M-row cache
-        # paid a one-time multi-10s stall at local[32]); the narrow
-        # scan+extract recompute is cheaper than the cache. At full 100 TB
-        # scale, materialize the mention table to storage between stages
-        # instead of executor memory.
-        mentions_all = mentions_all.persist()
+    # THE one corpus scan + one pandas-UDF pass. The cached table is narrow
+    # (text is dropped): at sf0.1 it is ~1/10 the bytes of the source.
+    extracted = extract_turn_mentions(transcripts, vocabulary, include_invalid=True)
+    if persist_extracted:
+        extracted = extracted.persist()
+
+    mentions_all = occurrences(extracted, drop_stoplisted=False)
     mentions = mentions_all.filter(~F.col("mention_norm").isin(*sorted(STOPLIST)))
     distinct = distinct_mentions(mentions)
     links, candidates, unresolved = link_cascade(distinct, terms, xrefs)
     # shuffle-free triple path: per-turn uniqueness established inside the
-    # extraction row (array_distinct), not via a cluster-wide dropDuplicates
-    per_turn = unique_mentions_per_turn(transcripts, vocabulary)
+    # extraction row (array_distinct on the same ms column), not via a
+    # cluster-wide dropDuplicates
+    per_turn = unique_per_turn(extracted)
     triples = emit_triples(per_turn, links, unique_per_turn=True)
     curation = curation_table(unresolved, candidates, distinct)
     return PipelineResult(
         transcripts=transcripts,
+        extracted=extracted,
         mentions_all=mentions_all,
         mentions=mentions,
         distinct=distinct,
@@ -83,45 +99,78 @@ def run_pipeline(
     )
 
 
-def compute_metrics(spark: SparkSession, result: PipelineResult, run_id: str = "run") -> DataFrame:
-    """A3 — the Report-counter analog, computed as aggregations over the same
-    DAG (cmat/output_generation/report.py:17-77). Returned long-format
-    (FIXTURES.md §7); per-partition splits come from the checkpoint runner.
+def compute_metrics(
+    spark: SparkSession,
+    result: PipelineResult,
+    run_id: str = "run",
+    partition: str = "all",
+    corpus_only: bool = False,
+) -> DataFrame:
+    """A3 — the Report-counter analog (cmat/output_generation/report.py:17-77).
+
+    ONE aggregation job over the (cached) per-turn extraction table yields
+    every corpus-grain counter — turns, exclusions, mention totals, stoplist
+    hits AND the triple count (per-turn distinct links resolved via a
+    broadcast map lookup inside the same pass) — so metrics cost one scan,
+    not one job per counter. The remaining counters come from the
+    dictionary-scale link tables (already persisted by link_cascade).
     """
-    # One pass over turns, one pass over the (cached) mention table, and the
-    # tiny links/distinct tables — not one job per counter.
-    turn_counts = result.transcripts.agg(
-        F.count("*").alias("turns_total"),
-        F.sum((~turn_filter()).cast("long")).alias("turns_excluded"),
-    ).first()
-    # single aggregation pass over the occurrence stream (no caching — see
-    # run_pipeline note on the occurrence-cache pathology)
     stop = sorted(STOPLIST)
-    mention_counts = result.mentions_all.agg(
-        F.count("*").alias("mentions_total"),
-        F.sum(F.col("mention_norm").isin(*stop).cast("long")).alias("mentions_stoplisted"),
-    ).first()
-    counters = [
-        ("turns_total", turn_counts["turns_total"]),
-        ("turns_excluded", turn_counts["turns_excluded"] or 0),
-        ("mentions_total", mention_counts["mentions_total"]),
-        ("mentions_stoplisted", mention_counts["mentions_stoplisted"] or 0),
-        ("mentions_valid", mention_counts["mentions_total"] - (mention_counts["mentions_stoplisted"] or 0)),
-        ("mentions_distinct", result.distinct.count()),
-        ("unmapped", result.unresolved.count()),
-        ("triples_emitted", result.triples.count()),
-    ]
-    by_type = {
-        r["match_type"]: r["n"]
-        for r in result.links.select("mention_norm", "match_type")
-        .distinct()
-        .groupBy("match_type")
-        .agg(F.count("*").alias("n"))
-        .collect()
+    # triple count without a second job: triples_emitted == sum over turns of
+    # |distinct non-stoplisted mentions in turn ∩ link keys| x links per key.
+    # links is dictionary-scale and already persisted -> collect is cheap.
+    link_fanout = {
+        r["mention_norm"]: r["n"]
+        for r in result.links.groupBy("mention_norm").agg(F.count("*").alias("n")).collect()
     }
-    for mt in ("exact", "normalized", "fuzzy", "xref", "replacement"):
-        counters.append((f"linked_{mt}", int(by_type.get(mt, 0))))
-    rows = [(run_id, "all", k, int(v)) for k, v in counters]
+    if link_fanout:
+        fanout_map = F.create_map(
+            *[F.lit(x) for kv in sorted(link_fanout.items()) for x in kv]
+        )
+        per_turn_names = F.array_distinct(F.transform("ms", lambda m: m["mention_norm"]))
+        triple_contrib = F.aggregate(
+            F.filter(per_turn_names, lambda n: ~n.isin(*stop)),
+            F.lit(0).cast("long"),
+            lambda acc, n: acc + F.coalesce(fanout_map[n], F.lit(0)).cast("long"),
+        )
+    else:
+        triple_contrib = F.lit(0).cast("long")
+    row = result.extracted.agg(
+        F.count("*").alias("turns_total"),
+        F.sum((~F.col("valid")).cast("long")).alias("turns_excluded"),
+        F.sum(F.size("ms")).alias("mentions_total"),
+        F.sum(
+            F.size(F.filter("ms", lambda m: m["mention_norm"].isin(*stop)))
+        ).alias("mentions_stoplisted"),
+        F.sum(triple_contrib).alias("triples_emitted"),
+    ).first()
+    # dictionary-scale tables: links is persisted; distinct/unresolved derive
+    # from the cached extraction, so these counts re-scan nothing at scale.
+    counters = [
+        ("turns_total", row["turns_total"]),
+        ("turns_excluded", row["turns_excluded"] or 0),
+        ("mentions_total", row["mentions_total"] or 0),
+        ("mentions_stoplisted", row["mentions_stoplisted"] or 0),
+        ("mentions_valid", (row["mentions_total"] or 0) - (row["mentions_stoplisted"] or 0)),
+        ("triples_emitted", row["triples_emitted"] or 0),
+    ]
+    if not corpus_only:
+        # link-grain counters are NOT additive across disjoint corpus waves
+        # (the same mention can resolve in several waves) — wave callers pass
+        # corpus_only=True and compute these once from the global cascade.
+        counters.insert(5, ("mentions_distinct", result.distinct.count()))
+        counters.insert(6, ("unmapped", result.unresolved.count()))
+        by_type = {
+            r["match_type"]: r["n"]
+            for r in result.links.select("mention_norm", "match_type")
+            .distinct()
+            .groupBy("match_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for mt in ("exact", "normalized", "fuzzy", "xref", "replacement"):
+            counters.append((f"linked_{mt}", int(by_type.get(mt, 0))))
+    rows = [(run_id, partition, k, int(v)) for k, v in counters]
     return spark.createDataFrame(rows, "run_id string, partition string, counter string, value long")
 
 
@@ -141,4 +190,5 @@ __all__ = [
     "compute_metrics",
     "mappings_from_links",
     "merge_mapping_databases",
+    "turn_filter",
 ]

@@ -58,18 +58,25 @@ class CheckpointManifest:
         return rows
 
 
-def run_with_checkpoint(
+def run_waves(
     spark: SparkSession,
     transcripts: DataFrame,
     output_dir: str,
-    build_triples,  # (DataFrame) -> DataFrame
+    build_wave,  # (DataFrame) -> (dict[str, DataFrame], cleanup_fn | None)
     n_buckets: int = DEFAULT_CONV_BUCKETS,
     wave_size: int = 8,
 ) -> CheckpointManifest:
-    """Compute triples bucket-by-bucket (in waves), resumable.
+    """Compute per-wave output tables bucket-by-bucket, resumable.
 
-    build_triples maps a transcript DataFrame to a triple DataFrame (e.g.
-    lambda t: run_pipeline(spark, t).triples).
+    build_wave maps a wave's transcript DataFrame to ({name: DataFrame},
+    cleanup) where 'triples' is required; every table is written under
+    output_dir/<name>/bucket=... with dynamic partition overwrite, so a
+    resumed run overwrites rather than duplicates (A4 invariant). Side
+    tables (per-wave metrics, distinct-mention partials) ride along in the
+    SAME wave so nothing is recomputed after the waves finish — the round-1
+    job.py re-ran the whole pipeline for metrics/curation (verdict #2).
+    cleanup (if not None) runs after the wave's writes, e.g. to unpersist
+    the wave's cached extraction table.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     manifest = CheckpointManifest(output_dir)
@@ -80,22 +87,54 @@ def run_with_checkpoint(
     for i in range(0, len(pending), wave_size):
         wave = pending[i : i + wave_size]
         wave_turns = bucketed.filter(F.col("bucket").isin(wave))
-        triples = build_triples(wave_turns.drop("bucket")).withColumn(
-            "bucket", bucket_col(n_buckets)
-        )
+        tables, cleanup = build_wave(wave_turns.drop("bucket"))
+        triples = tables["triples"].withColumn("bucket", bucket_col(n_buckets))
         (
             triples.repartition(len(wave), "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(output_dir, "triples"))
         )
+        for name, df in tables.items():
+            if name == "triples":
+                continue
+            # side tables are small (dictionary/counter scale); one file per
+            # wave, tagged by the wave's first bucket for overwrite-idempotency
+            (
+                df.withColumn("bucket", F.lit(wave[0]))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(output_dir, name))
+            )
         counts = {
             r["bucket"]: r["n"]
             for r in triples.groupBy("bucket").agg(F.count("*").alias("n")).collect()
         }
+        if cleanup is not None:
+            cleanup()
         for b in wave:
             manifest.mark(b, {"triples_emitted": int(counts.get(b, 0))})
     return manifest
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    output_dir: str,
+    build_triples,  # (DataFrame) -> DataFrame
+    n_buckets: int = DEFAULT_CONV_BUCKETS,
+    wave_size: int = 8,
+) -> CheckpointManifest:
+    """Triples-only convenience wrapper over :func:`run_waves`."""
+    return run_waves(
+        spark,
+        transcripts,
+        output_dir,
+        lambda t: ({"triples": build_triples(t)}, None),
+        n_buckets=n_buckets,
+        wave_size=wave_size,
+    )
 
 
 def read_checkpointed_triples(spark: SparkSession, output_dir: str) -> DataFrame:

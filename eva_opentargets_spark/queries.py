@@ -159,6 +159,190 @@ def kg_annotated(spark, sf_dir):
     )
 
 
+# --- record-model queries (round 2: S5/J4, classification, P4, J5/J6) ----
+
+
+def _record_frame(spark, sf_dir):
+    """Per-turn record frame: one extraction pass + record attrs + in-row
+    disease groups (zero shuffle end to end)."""
+    from .operators.evidence import with_disease_groups
+    from .operators.mentions import extract_turn_mentions
+    from .operators.records import with_record_attrs
+
+    t = derive_transcripts(spark, sf_dir)
+    ex = extract_turn_mentions(t, fixtures.mention_vocabulary(), include_invalid=True)
+    return with_disease_groups(with_record_attrs(ex), fixtures.CURATED_MAPPINGS)
+
+
+def kg_classification(spark, sf_dir):
+    """Clinical-classification analog: review-status -> star score_map +
+    normalized significance list (clinical_classification.py:17-29,73-78)."""
+    return _record_frame(spark, sf_dir).filter("valid").select(
+        "conv_id",
+        "turn_idx",
+        "review_status",
+        "stars",
+        "clinical_significances",
+        "n_classifications",
+    )
+
+
+def kg_consequences(spark, sf_dir):
+    """S5+J4 — the 3-level consequence pairing over valid measures,
+    exercising REPEAT/SIMPLE/COMPLEX priority + the MAX_TARGET_GENES guard."""
+    from .operators.consequences import consequence_cascade, demo_consequences
+
+    recs = _record_frame(spark, sf_dir).filter(F.col("valid") & F.col("has_measure"))
+    cas = consequence_cascade(recs, demo_consequences(spark), keep_unmatched=False)
+    return cas.select(
+        "conv_id", "turn_idx", "matched_by", "ensembl_gene_id", "gene_symbol", "so_term"
+    )
+
+
+def kg_gauntlet(spark, sf_dir):
+    """P4 — ordered failure gauntlet: ONE reason column, ONE aggregation
+    (clinvar_to_evidence_strings.py:83-176 + report.py:27-37)."""
+    from .operators.consequences import consequence_match_flags, demo_consequences
+    from .operators.evidence import gauntlet_reason
+
+    recs = consequence_match_flags(_record_frame(spark, sf_dir), demo_consequences(spark))
+    return (
+        recs.withColumn("reason", gauntlet_reason(F.col("matched_by").isNotNull()))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+def kg_evidence(spark, sf_dir):
+    """J5 — the flagship evidence product: gauntlet -> 3-level consequence
+    cascade -> origin x disease x consequence explode -> 17-field payload
+    with germline/somatic routing. Plan shape: one corpus scan, broadcast
+    joins + in-row explodes only."""
+    from .operators.consequences import consequence_cascade, demo_consequences
+    from .operators.evidence import evidence_product
+
+    recs = _record_frame(spark, sf_dir)
+    eligible = recs.filter(
+        F.col("valid")
+        & (F.col("n_classifications") == 1)
+        & (F.size("valid_names") > 0)
+        & F.col("has_valid_significance")
+        & F.col("has_measure")
+    )
+    cas = consequence_cascade(eligible, demo_consequences(spark), keep_unmatched=False)
+    return evidence_product(cas)
+
+
+def kg_feedback(spark, sf_dir):
+    """J6 — the variant x trait feedback export (bin/traits_to_zooma_format
+    .py:22-39): every (variant_id in {rs, nsv}) x (mapped trait) pair per
+    record, with the mapping IRI as the semantic tag."""
+    recs = _record_frame(spark, sf_dir).filter(F.col("valid") & F.col("has_measure"))
+    variant_ids = F.array_compact(F.array("variant_rs_id", "variant_nsv_id"))
+    # mention -> array of mapping IRIs (one feedback row per xref-like
+    # mapping, so the multi-mapped "merge" emits two tags per pair)
+    by_mention: dict[str, list[str]] = {}
+    for mention, iri, _ in fixtures.CURATED_MAPPINGS:
+        by_mention.setdefault(mention, []).append(iri)
+    iri_map = F.create_map(
+        *[
+            F.lit(x)
+            for mention, iris in sorted(by_mention.items())
+            for x in (mention, F.array(*[F.lit(i) for i in sorted(iris)]))
+        ]
+    )
+    exploded = (
+        recs.withColumn("bioentity", F.explode(variant_ids))
+        .withColumn("property_value", F.explode("valid_names"))
+        .withColumn("semantic_tag", F.explode(F.element_at(iri_map, F.col("property_value"))))
+    )
+    return exploded.select(
+        F.col("study_id").alias("study"),
+        "bioentity",
+        F.lit("disease").alias("property_type"),
+        "property_value",
+        "semantic_tag",
+        F.lit("clinvar-xrefs").alias("annotator"),
+    )
+
+
+def kg_eval_metrics(spark, sf_dir):
+    """A5 + J9 — set-comparison metrics of engine links vs a gold standard,
+    with synonym bridging, per outcome category (set_metrics.py:27-86 +
+    annotated_clinvar.py:161-170)."""
+    from .operators.evaluation import evaluate
+
+    links = kg_links(spark, sf_dir)
+    gold = (
+        spark.createDataFrame(fixtures.EVAL_GOLD, "key string, term_id string")
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_set("term_id")).alias("gold_terms"))
+    )
+    got = (
+        links.select(F.col("mention_norm").alias("key"), "term_id")
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_set("term_id")).alias("got_terms"))
+    )
+    empty = F.array().cast("array<string>")
+    pairs = gold.join(got, "key", "outer").select(
+        "key",
+        F.coalesce("gold_terms", empty).alias("gold_terms"),
+        F.coalesce("got_terms", empty).alias("got_terms"),
+    )
+    bridge = spark.createDataFrame(fixtures.EVAL_BRIDGE, "term_id string, canonical_id string")
+    out = evaluate(pairs, synonyms=bridge)
+    return out.select(
+        "category", "count", F.round("avg_f1", 4).alias("avg_f1_r"), "tp", "fp", "fn"
+    )
+
+
+def hgvs_parse(spark, sf_dir):
+    """F5/F6 — HGVS parse + repeat classification over the fixture corpus.
+    The oracle is a reference-semantics golden table (fixtures.HGVS_CASES):
+    DuckDB's RE2 regex engine cannot express the lookahead these patterns
+    need, so the expected outputs are pinned instead of recomputed."""
+    from .functions.hgvs import infer_repeat_info, parse_hgvs
+
+    df = spark.createDataFrame([(c[0],) for c in fixtures.HGVS_CASES], "hgvs string")
+    h = parse_hgvs(F.col("hgvs"))
+    r = infer_repeat_info(F.col("hgvs"))
+    return df.select(
+        "hgvs",
+        h["reference_sequence"].alias("reference_sequence"),
+        h["sequence_type"].alias("sequence_type"),
+        h["variant_type"].alias("variant_type"),
+        h["start"].alias("start"),
+        h["stop"].alias("stop"),
+        h["repeat_sequence"].alias("repeat_sequence"),
+        r["repeat_type"].alias("repeat_type"),
+        r["transcript_id"].alias("transcript_id"),
+    )
+
+
+def kg_metadata(spark, sf_dir):
+    """S2 — header/metadata scan analog (xml_parsing.py:9-28 ReleaseSet
+    attributes; Iceberg table-properties analog): dataset-level facts as
+    (key, value) rows from one aggregation."""
+    t = derive_transcripts(spark, sf_dir)
+    row = t.agg(
+        F.count("*").alias("n_turns"),
+        F.count_distinct("conv_id").alias("n_conversations"),
+        F.min(F.unix_timestamp("ts")).alias("min_ts"),
+        F.max(F.unix_timestamp("ts")).alias("max_ts"),
+        F.max("turn_idx").alias("max_turn_idx"),
+    ).first()
+    rows = [
+        ("schema_version", "transcripts.v1"),
+        ("n_columns", str(len(t.columns))),
+        ("n_turns", str(row["n_turns"])),
+        ("n_conversations", str(row["n_conversations"])),
+        ("min_ts", str(row["min_ts"])),
+        ("max_ts", str(row["max_ts"])),
+        ("max_turn_idx", str(row["max_turn_idx"])),
+    ]
+    return spark.createDataFrame(rows, "key string, value string")
+
+
 def events_most_severe(spark, sf_dir):
     from .operators.cascade import most_severe
 
@@ -196,9 +380,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.blocked_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    return dedup.hamming_near_dups(dedup.simhash(_docs(spark, sf_dir)))
+
+
 def ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-k — the small-N verifier for ann_lsh_topk."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(emb, lambda vid: vid < 10, k=5)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """The ANN scale path (equi-join on hyperplane-LSH bucket) — the
+    headline similarity-search query; brute force above verifies it."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(emb, lambda vid: vid < 10, k=5, n_planes=8, dim=64)
 
 
 def events_hourly(spark, sf_dir):
@@ -251,13 +451,24 @@ QUERIES = {
     "kg_curated_triples": kg_curated_triples,
     "kg_grouped_by_term": kg_grouped_by_term,
     "kg_annotated": kg_annotated,
+    "kg_classification": kg_classification,
+    "kg_consequences": kg_consequences,
+    "kg_gauntlet": kg_gauntlet,
+    "kg_evidence": kg_evidence,
+    "kg_feedback": kg_feedback,
+    "kg_metadata": kg_metadata,
+    "kg_eval_metrics": kg_eval_metrics,
+    "hgvs_parse": hgvs_parse,
     "events_most_severe": events_most_severe,
     "text_stats": text_stats,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "tpch_q1_pricing": tpch_q1_pricing,

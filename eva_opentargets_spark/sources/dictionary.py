@@ -18,8 +18,11 @@ from ..schemas import ONTOLOGY_TERMS, ONTOLOGY_XREFS, TRAIT_MAPPINGS
 
 
 def demo_terms(spark: SparkSession) -> DataFrame:
+    syns: dict[str, list[str]] = {}
+    for tid, syn in fixtures.TERM_SYNONYMS:
+        syns.setdefault(tid, []).append(syn)
     rows = [
-        (tid, iri, ont, label, None, in_t, obs, rep)
+        (tid, iri, ont, label, sorted(syns[tid]) if tid in syns else None, in_t, obs, rep)
         for tid, iri, ont, label, in_t, obs, rep in fixtures.ONTOLOGY_TERMS
     ]
     return spark.createDataFrame(rows, ONTOLOGY_TERMS)

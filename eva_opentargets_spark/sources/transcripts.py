@@ -29,10 +29,14 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # conv_id-hash repartition mirrors the production bucketed-table layout
-    # (write_transcripts below): the testdata is one parquet file (1-2 input
-    # splits), which would otherwise serialize the extraction UDF onto 2 cores.
+    # (write_transcripts below) — but ONLY when the input layout actually
+    # under-parallelizes the scan (the testdata is one parquet file = 1-2
+    # input splits, which would serialize the extraction UDF onto 2 cores).
+    # A properly bucketed production table skips this shuffle entirely.
     n_parts = spark.sparkContext.defaultParallelism
-    return docs.repartition(n_parts, (F.col("doc_id") % N_CONVERSATIONS)).select(
+    if docs.rdd.getNumPartitions() < n_parts // 2:
+        docs = docs.repartition(n_parts, (F.col("doc_id") % N_CONVERSATIONS))
+    return docs.select(
         F.concat(F.lit("c"), F.lpad((F.col("doc_id") % N_CONVERSATIONS).cast("string"), 4, "0")).alias("conv_id"),
         (F.col("doc_id") / N_CONVERSATIONS).cast("int").alias("turn_idx"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("user"))

@@ -24,7 +24,14 @@ PHRASE_POOL: list[tuple[str, int, list[tuple[str, str, str]]]] = [
     # (surface, weight, [(mention_norm, pred, term_id), ...])
     ("spark", 40, [("spark", PRED_DIRECT, "EFO:0001")]),
     ("Spark", 10, [("spark", PRED_DIRECT, "EFO:0001")]),  # casefold variant
-    ("hash join", 15, [("hash join", PRED_DIRECT, "EFO:0002")]),
+    (
+        "hash join",
+        15,
+        [
+            ("hash join", PRED_DIRECT, "EFO:0002"),
+            ("join", PRED_DIRECT, "EFO:0002"),  # nested synonym-exact unigram
+        ],
+    ),
     (
         "sort merge",
         10,
@@ -32,6 +39,8 @@ PHRASE_POOL: list[tuple[str, int, list[tuple[str, str, str]]]] = [
             ("sort merge", PRED_DIRECT, "EFO:0003"),
             ("merge", PRED_DIRECT, "EFO:0006"),  # nested unigram, ambiguous-exact
             ("merge", PRED_DIRECT, "EFO:0007"),  # -> fuzzy accepts both
+            ("sort", PRED_DIRECT, "EFO:0003"),  # nested synonym, ambiguous ->
+            ("sort", PRED_DIRECT, "EFO:0004"),  # fuzzy accepts both
         ],
     ),
     ("table scan", 8, [("table scan", PRED_DIRECT, "EFO:0004")]),
@@ -44,7 +53,14 @@ PHRASE_POOL: list[tuple[str, int, list[tuple[str, str, str]]]] = [
     ("querys", 2, [("querys", PRED_DIRECT, "EFO:0015")]),  # exact
     ("batch", 4, [("batch", PRED_DIRECT, "EFO:0018")]),  # normalized tier ("batch!")
     ("the", 20, []),  # stop-listed (NONSPECIFIC_TRAITS analog)
-    ("stream filter", 5, [("stream filter", PRED_DIRECT, "EFO:0014")]),
+    (
+        "stream filter",
+        5,
+        [
+            ("stream filter", PRED_DIRECT, "EFO:0014"),
+            ("filter", PRED_DIRECT, "EFO:0014"),  # nested synonym-exact unigram
+        ],
+    ),
 ]
 
 FILLERS = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing", "elit"]

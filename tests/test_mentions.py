@@ -28,21 +28,23 @@ def _turns(spark, rows):
 def test_unigram_bigram_positions(spark):
     t = _turns(spark, [("c1", 0, "user", "x hash join spark y", None, "2025-01-01 00:00:00")])
     got = {(r.pos, r.mention_norm) for r in extract_mentions(t, VOCAB).collect()}
-    assert got == {(1, "hash join"), (3, "spark")}
+    # "join" alone is also a synonym-surface unigram (overlaps kept)
+    assert got == {(1, "hash join"), (2, "join"), (3, "spark")}
 
 
 def test_case_normalization(spark):
     # P5 — lookups are case-normalized (main.py:52,57)
     t = _turns(spark, [("c1", 0, "user", "SPARK Hash Join", None, "2025-01-01 00:00:00")])
     got = {r.mention_norm for r in extract_mentions(t, VOCAB).collect()}
-    assert got == {"spark", "hash join"}
+    assert got == {"spark", "hash join", "join"}
 
 
 def test_overlapping_mentions_kept(spark):
-    # "sort merge" emits both the bigram and the nested unigram "merge"
+    # "sort merge" emits the bigram plus BOTH nested unigrams ("merge" is a
+    # label, "sort" is a synonym — both are in the gazetteer surface)
     t = _turns(spark, [("c1", 0, "user", "sort merge", None, "2025-01-01 00:00:00")])
     got = {(r.pos, r.mention_norm) for r in extract_mentions(t, VOCAB).collect()}
-    assert got == {(0, "sort merge"), (1, "merge")}
+    assert got == {(0, "sort merge"), (0, "sort"), (1, "merge")}
 
 
 def test_stoplist_filter(spark):
