@@ -62,7 +62,12 @@ def replicated_transcripts(spark, sf_dir: str, factor: int = REPLICATE):
     # splits), which would serialize the extraction UDF onto 2 cores. In
     # production the transcript table is conv_id-bucketed at write time
     # (sources.transcripts.write_transcripts) so this shuffle doesn't exist.
-    parts = spark.sparkContext.defaultParallelism * 2
+    # Partition count is CORPUS-sized (~500k turns each), not core-sized: a
+    # real cluster job sees the same input splits at every cluster size, and
+    # core-derived counts gave the low-parallelism run pathological multi-GB
+    # partitions (GC/cache-block blowup that poisoned the N-vs-4N comparison).
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    parts = max(spark.sparkContext.defaultParallelism * 2, (n_docs * factor) // 500_000)
     return (
         t.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
         .withColumn("conv_id", F.concat_ws("_", "conv_id", F.col("rep").cast("string")))
@@ -71,18 +76,29 @@ def replicated_transcripts(spark, sf_dir: str, factor: int = REPLICATE):
     )
 
 
-def flagship_turns_per_sec(spark, sf_dir: str, factor: int = REPLICATE, runs: int = 1) -> dict:
+def flagship_turns_per_sec(
+    spark, sf_dir: str, factor: int = REPLICATE, runs: int = 1,
+    persist_extracted: bool = True,
+) -> dict:
     """The scaling-mode workload: full KG pipeline on the replicated corpus.
 
     With runs > 1, reports the BEST run — this sandbox shares its host with
     noisy neighbors (load average ~5-18 from outside the container), and min
     over repeats is the standard way to measure the engine, not the noise.
+    Each run's pipeline caches are released before the next (a leaked
+    extracted-cache copy per run distorts memory-sensitive comparisons).
+
     """
     from eva_opentargets_spark.pipeline import run_pipeline
 
     transcripts = replicated_transcripts(spark, sf_dir, factor).persist()
     n_turns = transcripts.count()  # also warms the cache out of the timing
-    secs = min(_materialize(run_pipeline(spark, transcripts).triples) for _ in range(runs))
+    secs = None
+    for _ in range(runs):
+        res = run_pipeline(spark, transcripts, persist_extracted=persist_extracted)
+        sec = _materialize(res.triples)
+        res.unpersist()
+        secs = sec if secs is None else min(secs, sec)
     transcripts.unpersist()
     return {"n_turns": n_turns, "sec": round(secs, 3), "turns_per_sec": round(n_turns / secs, 1)}
 
@@ -110,18 +126,28 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     }
 
 
-SCALING_REPLICATE = 1600  # 8M-turn corpus so parallel work dominates the
-# serial fraction (driver-side broadcast builds + codegen + worker startup).
+SCALING_REPLICATE = 1600  # 8M-turn corpus. Every timed run is COLD: the
+# pipeline's extraction cache is dropped between runs (res.unpersist), so
+# the measurement includes the extraction pass — round-1/early-round-2
+# "min of repeats" silently reused Spark's logical-plan cache across runs
+# and timed a WARM pipeline (extraction excluded), inflating throughput at
+# both levels. With cold runs the per-run serial floor (driver round trips
+# for the ~12 dictionary-scale broadcast-build jobs, python worker
+# startup) needs an 8M-turn corpus to stay under ~10%% of wall time. The
+# round-1 spill artifact (local[2] at 8M spilling, deflating the baseline
+# and pushing "efficiency" over 1.0) is fixed at the source: scaling
+# children get a 48g heap (SPARK_DRIVER_MEMORY below) and the corpus is
+# laid out in ~500k-turn partitions at BOTH levels (replicated_transcripts).
 # The linking cascade is O(dictionary), not O(corpus) — at the target
-# 10^12-turn scale its constant cost vanishes entirely; growing the measured
-# corpus shows efficiency converging upward (0.63 @ 250k, 0.77 @ 1M, ...).
+# 10^12-turn scale its constant cost vanishes entirely.
 
 
 def run_scaling_child(sf_dir: str, cpus: str) -> None:
     from eva_opentargets_spark.session import get_spark
 
     spark = get_spark(app_name=f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
-    out = flagship_turns_per_sec(spark, sf_dir, factor=SCALING_REPLICATE, runs=2)
+    runs = int(os.environ.get("SPARK_SCALING_RUNS", "2"))
+    out = flagship_turns_per_sec(spark, sf_dir, factor=SCALING_REPLICATE, runs=runs)
     spark.stop()
     print("SCALING_RESULT " + json.dumps({"cpus": int(cpus), **out}))
 
@@ -134,10 +160,13 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
     for cpus in (low, high):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+                 # ample heap so neither parallelism level spills its caches
+                 # (the round-1 >1.0 "efficiency" was a local[2] spill artifact)
+                 "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_SCALING_MEMORY", "48g")},
             capture_output=True,
             text=True,
-            timeout=1800,
+            timeout=2700,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("SCALING_RESULT "):

@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import fixtures
 from ..config import MAX_TARGET_GENES
-from .cascade import guarded_lookup
 
 CONSEQUENCE_SCHEMA = "variant_id string, ensembl_gene_id string, gene_symbol string, so_term string"
 
@@ -95,48 +94,27 @@ def consequence_cascade(
     ('REPEAT', 'SIMPLE', 'COMPLEX') — the reference's level labels — plus,
     when keep_unmatched, one row per unmatched record with NULL payload
     (so the failure gauntlet can count skip_no_functional_consequences
-    without a second pass)."""
-    dim = F.broadcast(consequences.select("variant_id", *_PAYLOAD))
-    keys = consequences.select("variant_id").distinct()
+    without a second pass).
 
-    def probe(facts: DataFrame, key_col: str, label: str, d=dim) -> tuple[DataFrame, DataFrame]:
-        hit = (
-            facts.join(d, facts[key_col] == d["variant_id"], "inner")
-            .drop("variant_id")
-            .withColumn("matched_by", F.lit(label))
-        )
-        rest = facts.join(
-            F.broadcast(keys.withColumnRenamed("variant_id", "__k")),
-            facts[key_col] == F.col("__k"),
-            "left_anti",
-        )
-        return hit, rest
-
-    # Level 1: RCV accession (repeat-expansion route — probed first so the
-    # repeat pipeline's annotations win over VEP's, :287-295).
-    l1, rem1 = probe(records, "rcv_key", "REPEAT")
-    # Level 2: coordinate id, only for measures with complete coordinates
-    # (rows without coords have NULL coord_key, which never equi-matches).
-    l2, rem2 = probe(rem1, "coord_key", "SIMPLE")
-    # Level 3: HGVS, with the MAX_TARGET_GENES ambiguity guard — keys mapping
-    # to more genes are dropped from the dictionary, so those records fall
-    # through to "no consequences" exactly like the reference (:311-315).
-    guarded = guarded_lookup(consequences.select("variant_id", *_PAYLOAD), "variant_id", max_target_genes)
-    guarded_keys = guarded.select("variant_id").distinct()
-    l3 = (
-        rem2.join(F.broadcast(guarded), rem2["hgvs_key"] == guarded["variant_id"], "inner")
-        .drop("variant_id")
-        .withColumn("matched_by", F.lit("COMPLEX"))
+    Plan shape: the naive formulation (per-level inner join + left_anti
+    remainder, unioned) evaluates the record subtree once per level — three
+    corpus scans. Instead the winning level is decided with
+    consequence_match_flags (three broadcast LEFT joins, one narrow
+    pipeline), and a single broadcast join on the winning key fetches that
+    level's gene rows: ONE scan of the records, no union. Key namespaces
+    are disjoint across levels (a dictionary variant_id is an accession, a
+    coordinate id, or an HGVS string — never two of them), so the winning
+    key pulls exactly the winning level's payload."""
+    flagged = consequence_match_flags(records, consequences, max_target_genes)
+    win_key = (
+        F.when(F.col("matched_by") == "REPEAT", F.col("rcv_key"))
+        .when(F.col("matched_by") == "SIMPLE", F.col("coord_key"))
+        .when(F.col("matched_by") == "COMPLEX", F.col("hgvs_key"))
     )
-    out = l1.unionByName(l2).unionByName(l3)
-    if keep_unmatched:
-        rem3 = rem2.join(
-            F.broadcast(guarded_keys.withColumnRenamed("variant_id", "__k")),
-            rem2["hgvs_key"] == F.col("__k"),
-            "left_anti",
-        )
-        for c in _PAYLOAD:
-            rem3 = rem3.withColumn(c, F.lit(None).cast("string"))
-        rem3 = rem3.withColumn("matched_by", F.lit(None).cast("string"))
-        out = out.unionByName(rem3)
+    dim = F.broadcast(consequences.select("variant_id", *_PAYLOAD))
+    out = (
+        flagged.withColumn("__wk", win_key)
+        .join(dim, F.col("__wk") == dim["variant_id"], "left" if keep_unmatched else "inner")
+        .drop("variant_id", "__wk")
+    )
     return out

@@ -23,13 +23,17 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import fingerprint
 
-# Production-realistic LSH parameterization: 64 hashes in 16 bands of 4 rows
-# gives an S-curve threshold of (1/16)^(1/4) ~= 0.5 Jaccard — right for
-# near-dup detection at 0.8 — while keeping per-band collision rates sane
-# (round-1's 8/2 toy config over-generated candidates: each band of 4 hashes
-# over 500 short docs yielded 51k pairs).
+# Production-realistic LSH parameterization: 64 hashes in 8 bands of 8 rows
+# puts the S-curve threshold at (1/8)^(1/8) ~= 0.77 — tuned to the 0.8
+# near-dup target, so pairs well below it collide with vanishing
+# probability (s=0.6 -> ~13%, s=0.4 -> ~0.5%) while 0.8+-similar pairs are
+# recalled at ~77% per run. (Round-1's 8-hash/2-band toy config had both
+# huge per-band variance and too few hashes for stable estimates.) NB: the
+# bundled synthetic corpus draws from a 31-word vocabulary, so most doc
+# PAIRS genuinely sit above the threshold — large candidate outputs there
+# reflect true near-dup density, not LSH over-generation.
 N_MINHASHES = 64
-N_BANDS = 16
+N_BANDS = 8
 
 # Document-frequency cap for blocked Jaccard: tokens appearing in more than
 # this many docs of a block are excluded from the token SETS (both
@@ -62,8 +66,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASHES) -> DataFram
 
     Lexicographic min over fixed-width hex == min over uniform 128-bit ints,
     so this is a valid MinHash family; identical formula in the oracle.
+
+    The token stream is deduplicated per doc BEFORE hashing: MinHash is a
+    set signature, so min-over-distinct == min-over-multiset, and the
+    n_hashes md5 evaluations then run once per distinct token instead of
+    once per occurrence (at 64 hashes that is the dominant cost).
     """
-    toks = doc_tokens(docs)
+    toks = doc_tokens(docs).select("doc_id", "tok").distinct()
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
         for i in range(n_hashes)

@@ -172,9 +172,13 @@ def evidence_product(with_consequences: DataFrame) -> DataFrame:
     (records.with_record_attrs + with_disease_groups). The two remaining
     dimensions explode IN-ROW (row-local cross join, :145-150); routing is
     the is_somatic flag of the origin group (:207-215)."""
+    # explode_outer + null-filter: a plain explode gets an optimizer-
+    # inferred size()>0 filter on the input EXPRESSION, which re-runs the
+    # extraction UDF feeding disease_groups a second time per row.
     exploded = (
-        with_consequences.withColumn("og", F.explode("origin_groups"))
-        .withColumn("dg", F.explode("disease_groups"))
+        with_consequences.withColumn("og", F.explode_outer("origin_groups"))
+        .withColumn("dg", F.explode_outer("disease_groups"))
+        .filter(F.col("og").isNotNull() & F.col("dg").isNotNull())
     )
     is_somatic = F.col("og.is_somatic")
     return exploded.select(
@@ -201,6 +205,49 @@ def evidence_product(with_consequences: DataFrame) -> DataFrame:
         F.col("dg.disease_from_source").alias("disease_from_source"),
         F.concat(F.lit("MG:"), F.col("dg.disease_from_source")).alias("disease_from_source_id"),
         F.col("dg.disease_mapped_id").alias("disease_mapped_id"),
+    )
+
+
+# Fields every evidence row must carry non-null — the output-schema contract
+# gate, analog of validating each evidence string against the pinned Open
+# Targets JSON schema (clinvar_to_evidence_strings.py:30-41, OT_SCHEMA_VERSION).
+EVIDENCE_REQUIRED = [
+    "datasource_id",
+    "datatype_id",
+    "study_id",
+    "clinical_significances",
+    "confidence",
+    "target_from_source_id",
+    "variant_consequence_id",
+    "disease_from_source",
+    "disease_from_source_id",
+]
+
+
+def validate_evidence_schema(evidence: DataFrame) -> None:
+    """Schema-contract gate: every EVIDENCE_COLUMNS column present and every
+    EVIDENCE_REQUIRED field non-null on every row. Raises on violation —
+    mirroring the reference's validate-before-write discipline (invalid
+    strings are never emitted, :149-155)."""
+    missing = [c for c in EVIDENCE_COLUMNS if c not in evidence.columns]
+    if missing:
+        raise AssertionError(f"evidence schema missing columns: {missing}")
+    null_pred = None
+    for c in EVIDENCE_REQUIRED:
+        p = F.col(c).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    if evidence.filter(null_pred).limit(1).count():
+        raise AssertionError("evidence rows with NULL required fields")
+
+
+def evidence_to_json(evidence: DataFrame) -> DataFrame:
+    """F10 on the evidence payload: one null-stripped JSON object per row
+    (the reference's json.dumps of the cleaned dict, :152-155,263)."""
+    return evidence.select(
+        F.to_json(
+            F.struct(*[F.col(c) for c in EVIDENCE_COLUMNS]),
+            {"ignoreNullFields": "true"},
+        ).alias("evidence")
     )
 
 

@@ -117,9 +117,14 @@ def occurrences(
     """Exploded occurrence view of :func:`extract_turn_mentions` output:
     one row per mention occurrence (conv_id, turn_idx, pos, mention_norm).
     Narrow (explode only, no shuffle)."""
+    # explode_outer + null-filter instead of explode: a plain explode makes
+    # the optimizer infer a `size(ms) > 0` pre-filter on the generate INPUT
+    # expression, which re-evaluates the extraction UDF a second time per
+    # row (no CSE between Filter and Generate). The null-filter on the
+    # generate OUTPUT is free and semantically identical.
     df = extracted.filter("valid").select(
-        "conv_id", "turn_idx", F.explode("ms").alias("m")
-    ).select(
+        "conv_id", "turn_idx", F.explode_outer("ms").alias("m")
+    ).filter(F.col("m").isNotNull()).select(
         "conv_id",
         "turn_idx",
         F.col("m.pos").alias("pos"),
@@ -140,10 +145,15 @@ def unique_per_turn(
     triple-emission input (subj identity is per-turn, so per-turn uniqueness
     is all the dedup needed)."""
     names = F.array_distinct(F.transform("ms", lambda m: m["mention_norm"]))
+    # explode_outer: see occurrences() — avoids the inferred size()>0 filter
+    # that would run the extraction UDF twice
     return (
         extracted.filter("valid")
-        .select("conv_id", "turn_idx", F.explode(names).alias("mention_norm"))
-        .filter(~F.col("mention_norm").isin(*sorted(stoplist)))
+        .select("conv_id", "turn_idx", F.explode_outer(names).alias("mention_norm"))
+        .filter(
+            F.col("mention_norm").isNotNull()
+            & ~F.col("mention_norm").isin(*sorted(stoplist))
+        )
     )
 
 

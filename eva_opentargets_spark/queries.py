@@ -222,10 +222,14 @@ def kg_evidence(spark, sf_dir):
     from .operators.evidence import evidence_product
 
     recs = _record_frame(spark, sf_dir)
+    # NB: no size(valid_names) predicate here — a record with zero valid
+    # mentions has an EMPTY disease_groups array, so the explode emits
+    # nothing for it anyway. Filtering on it would be redundant AND would
+    # force the extraction UDF to run twice (once under the Filter, once in
+    # the payload projection — Catalyst does not CSE across the two).
     eligible = recs.filter(
         F.col("valid")
         & (F.col("n_classifications") == 1)
-        & (F.size("valid_names") > 0)
         & F.col("has_valid_significance")
         & F.col("has_measure")
     )

@@ -177,3 +177,29 @@ def test_gauntlet_reason_order(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_evidence_schema_gate(spark, tmp_path=None):
+    """The output-schema contract (validate_evidence_string analog,
+    clinvar_to_evidence_strings.py:30-41): full kg_evidence passes; a frame
+    with a NULL required field or a missing column is rejected."""
+    import pytest as _pytest
+
+    from eva_opentargets_spark.operators.evidence import (
+        evidence_to_json,
+        validate_evidence_schema,
+    )
+    from eva_opentargets_spark.queries import kg_evidence
+
+    ev = kg_evidence(spark, "/root/testdata/sf0.001")
+    validate_evidence_schema(ev)  # must not raise
+
+    with _pytest.raises(AssertionError):
+        validate_evidence_schema(ev.drop("study_id"))
+    broken = ev.withColumn("study_id", F.lit(None).cast("string"))
+    with _pytest.raises(AssertionError):
+        validate_evidence_schema(broken)
+
+    # JSON rendering strips nulls (no "variant_id" key when coords absent)
+    j = evidence_to_json(ev.filter(F.col("variant_id").isNull())).first()
+    assert j is None or '"variant_id"' not in j["evidence"]
