@@ -51,7 +51,10 @@ def main(argv=None):
     run_id = args.run_id or f"run-{int(time.time())}"
 
     def build_wave(wave_turns):
-        res = run_pipeline(spark, wave_turns, terms=terms, xrefs=xrefs)
+        # waves run several actions over the same extraction (triples write,
+        # metrics agg, distinct partials, count) -> caching wins here, and
+        # the per-wave cache is released right after the wave's writes
+        res = run_pipeline(spark, wave_turns, terms=terms, xrefs=xrefs, persist_extracted=True)
         wave_metrics = compute_metrics(spark, res, run_id, partition="wave", corpus_only=True)
         tables = {
             "triples": res.triples,

