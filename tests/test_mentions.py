@@ -103,3 +103,51 @@ def test_distinct_mention_preagg(spark):
     dm = distinct_mentions(extract_mentions(t, VOCAB)).collect()
     row = {r.mention_norm: r for r in dm}["spark"]
     assert row.freq == 3 and row.occurrences == 4 and row.n_conversations == 2
+
+
+def test_regex_extractor_equals_token_loop(spark):
+    """The C-regex gazetteer must be exactly equivalent to the reference
+    token-loop semantics (which the DuckDB oracles pin): same mentions,
+    same positions, for tricky inputs — overlaps, double spaces, prefixes,
+    punctuation tokens, boundaries."""
+    import pandas as pd
+
+    from eva_opentargets_spark.operators.mentions import make_extract_udf
+
+    vocab = ["spark", "merge", "sort", "sort merge", "hash join", "join", "batch!", "a"]
+    texts = [
+        "sort merge sort merge",          # repeated overlapping bigrams
+        "x hash join spark",
+        "spark  merge",                   # double space (empty token)
+        "sorting sort sorted",            # prefix-sharing tokens
+        "batch! a spark",                 # punctuation token + single char
+        "hash join join hash",
+        "",                               # empty
+        "spark",                          # single token
+        " spark",                         # leading space
+        "spark ",                         # trailing space
+        "merge sort merge",               # bigram spanning mid-positions
+    ]
+
+    def loop_reference(text):
+        toks = text.lower().split(" ")
+        uni = {w for w in vocab if " " not in w}
+        big = {w for w in vocab if " " in w}
+        hits = []
+        for i, tok in enumerate(toks):
+            if tok in uni:
+                hits.append((i, tok))
+            if i + 1 < len(toks) and tok + " " + toks[i + 1] in big:
+                hits.append((i, tok + " " + toks[i + 1]))
+        return sorted(hits)
+
+    # drive the pandas UDF's inner function directly via Spark
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    udf = make_extract_udf(vocab)
+    from pyspark.sql import functions as F2
+
+    got_rows = df.select("i", udf(F2.col("text")).alias("ms")).collect()
+    for r in got_rows:
+        got = sorted((m["pos"], m["mention_norm"]) for m in r["ms"])
+        want = loop_reference(texts[r["i"]])
+        assert got == want, (texts[r["i"]], got, want)
