@@ -103,26 +103,67 @@ def flagship_turns_per_sec(
     return {"n_turns": n_turns, "sec": round(secs, 3), "turns_per_sec": round(n_turns / secs, 1)}
 
 
+BEST_PATH = os.path.join(REPO, "BENCH_BEST.json")
+REGRESSION_FACTOR = 1.3  # flag any query >1.3x its recorded best (same sf+cpus)
+
+
+def _load_best() -> dict:
+    try:
+        with open(BEST_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _regression_guard(sf: str, cpus: str, timings: dict) -> list[str]:
+    """Min-of-repeats regression guard (round-2 verdict: a single contended
+    run is not adjudicable). Compares each query to its best recorded time
+    at the same (sf, cpus), flags >1.3x slowdowns, and folds new minima back
+    into BENCH_BEST.json so the baseline is the min over ALL runs ever."""
+    best = _load_best()
+    key = f"{sf}:{cpus}"
+    prior = best.get(key, {})
+    flagged = [
+        q for q, sec in timings.items() if q in prior and sec > REGRESSION_FACTOR * prior[q]
+    ]
+    best[key] = {q: min(sec, prior.get(q, sec)) for q, sec in timings.items()}
+    try:
+        with open(BEST_PATH, "w") as fh:
+            json.dump(best, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return flagged
+
+
 def run_headline(sf_dir: str, cpus: str) -> dict:
     from eva_opentargets_spark.queries import QUERIES
     from eva_opentargets_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    # min-of-repeats: this host is shared (outside load average 5-18), so a
+    # single sample conflates engine time with neighbor noise; the min over
+    # repeats is the engine's time (see BENCH.md measurement protocol).
+    repeats = int(os.environ.get("SPARK_BENCH_REPEATS", "2"))
     timings = {}
-    for name in HEADLINE:
-        timings[name] = round(_materialize(QUERIES[name](spark, sf_dir)), 3)
+    for r in range(repeats):
+        for name in HEADLINE:
+            sec = round(_materialize(QUERIES[name](spark, sf_dir)), 3)
+            timings[name] = min(sec, timings.get(name, sec))
     flag = flagship_turns_per_sec(spark, sf_dir)
     spark.stop()
     total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "sf": sf,
         "turns_per_sec": flag["turns_per_sec"],
         "flagship": flag,
         "cpus": int(cpus),
+        "repeats": repeats,
+        "regressions": _regression_guard(sf, cpus, timings),
     }
 
 

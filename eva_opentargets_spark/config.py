@@ -37,6 +37,11 @@ REPLACEMENT_MAX_DEPTH = 1
 # Curation-spreadsheet candidate cap (bin/trait_mapping/create_table_for_manual_curation.py:96).
 CURATION_MAX_CANDIDATES = 50
 
+# Microsatellite events with complete coordinates must insert at least this
+# many bases to count as repeat expansions; smaller events are regular
+# insertions (cmat/clinvar_xml_io/clinvar_measure.py:21 REPEAT_EXPANSION_THRESHOLD).
+REPEAT_EXPANSION_THRESHOLD = 12
+
 # Consequence-pairing ambiguity guard (cmat/output_generation/
 # clinvar_to_evidence_strings.py:23): an HGVS key mapping to more than this
 # many genes annotates nothing.
@@ -53,3 +58,12 @@ PRED_CANONICAL = "is_a"
 # Default partitioning: conv_id is bucketed so mention extraction is
 # shuffle-free and skew is bounded (north_rule: explicit partition/skew handling).
 DEFAULT_CONV_BUCKETS = 32
+
+# Above this many curated-mapping rows, the in-row disease-group derivation
+# stops inlining the mention->terms dictionary as a literal create_map
+# (plan/codegen size is O(|mapping|) per operator) and switches to an
+# Arrow-batched pandas UDF whose closure dict ships once per executor —
+# the same gate discipline as linking.ARROW_FUZZY_TERM_THRESHOLD. The
+# reference's real mapping table is ~13k rows (mappings/latest_mappings.tsv),
+# far beyond sane literal-plan territory.
+MAPPING_LITERAL_THRESHOLD = 1_000

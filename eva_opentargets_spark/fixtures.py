@@ -153,6 +153,36 @@ CONSEQUENCES: list[tuple[str, str, str, str]] = [
 
 CONSEQUENCE_COLUMNS = ["variant_id", "ensembl_gene_id", "gene_symbol", "so_term"]
 
+# SO term name -> accession. The reference fetches this dictionary from OLS
+# over REST at import time (consequence_type.py:55-72 get_so_accession_dict);
+# the engine replaces the REST source with a broadcast dimension (the S10
+# pattern). Accessions are the public Sequence Ontology ids.
+SO_ACCESSIONS: list[tuple[str, str]] = [
+    ("missense_variant", "SO_0001583"),
+    ("synonymous_variant", "SO_0001819"),
+    ("intron_variant", "SO_0001627"),
+    ("frameshift_variant", "SO_0001589"),
+    ("splice_donor_variant", "SO_0001575"),
+    ("splice_region_variant", "SO_0001630"),
+    ("stop_gained", "SO_0001587"),
+    ("trinucleotide_repeat_expansion", "SO_0002165"),
+    ("short_tandem_repeat_expansion", "SO_0002162"),
+]
+
+# Measure variant types, indexed by doc_id % len — the XML Type attribute
+# (cmat/clinvar_xml_io/clinvar_measure.py:156-157). 'Microsatellite' rows
+# feed the P8 microsatellite classifier (clinvar_measure.py:165-183); the
+# synthetic vcf ref/alt lengths (records.py) put insertion lengths on BOTH
+# sides of REPEAT_EXPANSION_THRESHOLD=12 and below 0.
+VARIANT_TYPES: list[str] = [
+    "single nucleotide variant",
+    "Microsatellite",
+    "Deletion",
+    "Microsatellite",
+    "copy number gain",
+    "Microsatellite",
+]
+
 # Allele-origin patterns, indexed by doc_id % len — chosen to exercise every
 # branch of convert_allele_origins (clinvar_to_evidence_strings.py:369-380):
 # somatic-only, mixed (two groups), multi-germline, empty (one empty group).

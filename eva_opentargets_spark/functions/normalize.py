@@ -61,6 +61,39 @@ def vcf_to_colon(col: Column) -> Column:
     return F.concat_ws(":", p[0], p[1], p[3], p[4])
 
 
+def microsatellite_category(
+    variant_type: Column,
+    has_complete_coordinates: Column,
+    vcf_ref: Column,
+    vcf_alt: Column,
+) -> Column:
+    """P8 — classify a Microsatellite measure (cmat/clinvar_xml_io/
+    clinvar_measure.py:165-178): with complete coordinates, the explicit
+    insertion length len(alt) - len(ref) (:160-163) decides deletion /
+    short_expansion / repeat_expansion at REPEAT_EXPANSION_THRESHOLD (:21);
+    without coordinates it is no_complete_coords. Non-Microsatellite
+    measures classify as NULL."""
+    from ..config import REPEAT_EXPANSION_THRESHOLD
+
+    ins_len = F.length(vcf_alt) - F.length(vcf_ref)
+    return F.when(
+        variant_type == "Microsatellite",
+        F.when(~has_complete_coordinates, "no_complete_coords")
+        .when(ins_len < 0, "deletion")
+        .when(ins_len < REPEAT_EXPANSION_THRESHOLD, "short_expansion")
+        .otherwise("repeat_expansion"),
+    )
+
+
+def is_repeat_expansion_variant(category: Column) -> Column:
+    """P8 — the coordinate-span form of the repeat-expansion predicate
+    (clinvar_measure.py:180-183): repeat_expansion, or a Microsatellite
+    without complete coordinates (given the benefit of the doubt)."""
+    return F.coalesce(
+        category.isin("repeat_expansion", "no_complete_coords"), F.lit(False)
+    )
+
+
 def has_ambiguous_bases(col: Column) -> Column:
     """P9 — true when an allele contains non-ACGT bases; such variants are
     skipped (cmat/output_generation/clinvar_to_evidence_strings.py:20,300-302,

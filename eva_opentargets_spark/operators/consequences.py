@@ -32,12 +32,19 @@ def demo_consequences(spark: SparkSession) -> DataFrame:
 
 def load_consequences(spark: SparkSession, path: str) -> DataFrame:
     """S5 — TSV loader in the consequence_type.py:17-51 shape: 4-5 tab
-    columns, short lines skipped, gene_id 'NA' rows dropped."""
-    raw = spark.read.option("sep", "\t").csv(path).toDF(
-        "variant_id", "ensembl_gene_id", "gene_symbol", "so_term", "transcript_id"
-    )
+    columns (the 5th, transcript id, optional and ignored there), short
+    (<4 column) lines skipped, gene_id 'NA' rows dropped.
+
+    An explicit nullable 5-column schema makes 4-column files load with a
+    NULL transcript_id (schema inference would raise on the missing column)
+    and mixed 4/5-column files parse per-line; the <4-column skip is the
+    explicit non-null filter on the first four fields."""
+    schema = "variant_id string, ensembl_gene_id string, gene_symbol string, so_term string, transcript_id string"
+    raw = spark.read.option("sep", "\t").schema(schema).csv(path)
     return raw.filter(
         F.col("variant_id").isNotNull()
+        & F.col("ensembl_gene_id").isNotNull()
+        & F.col("gene_symbol").isNotNull()
         & F.col("so_term").isNotNull()
         & (F.col("ensembl_gene_id") != "NA")
     )

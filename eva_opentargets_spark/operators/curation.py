@@ -23,20 +23,43 @@ from ..config import CURATION_MAX_CANDIDATES, TARGET_ONTOLOGY
 
 def rank_candidates(candidates: DataFrame) -> DataFrame:
     """W1 — total order (confidence, in_ontology, is_current) desc, with
-    deterministic term_id tie-break (W5 lexicographic-first discipline)."""
+    deterministic tie-breaks (W5 lexicographic-first discipline): term_id,
+    then — since the synonym tier can surface the same term through several
+    label variants — (lev, label_norm) when those columns are present, so
+    row_number is a TOTAL order and packed cells are stable across runs."""
     conf_rank = (
         F.when(F.col("confidence") == "HIGH", 4)
         .when(F.col("confidence") == "GOOD", 3)
         .when(F.col("confidence") == "MEDIUM", 2)
         .otherwise(1)
     )
-    w = Window.partitionBy("mention_norm").orderBy(
+    order = [
         conf_rank.desc(),
         F.col("in_ontology").desc(),
         F.col("is_current").desc(),
         F.col("term_id").asc(),
-    )
+    ]
+    for tie in ("lev", "label_norm"):
+        if tie in candidates.columns:
+            order.append(F.col(tie).asc())
+    w = Window.partitionBy("mention_norm").orderBy(*order)
     return candidates.withColumn("rank", F.row_number().over(w))
+
+
+def dedupe_surface_variants(candidates: DataFrame) -> DataFrame:
+    """One candidate row per (mention, term): the best (lowest-lev, then
+    lexicographically-first label) surface variant represents the term —
+    synonym-tier fan-out must not consume top-N candidate slots or make the
+    packed cell's label nondeterministic (link_fuzzy applies the same rule
+    to accepted links)."""
+    w = Window.partitionBy("mention_norm", "term_id").orderBy(
+        F.col("lev").asc(), F.col("label_norm").asc()
+    )
+    return (
+        candidates.withColumn("__sv", F.row_number().over(w))
+        .filter(F.col("__sv") == 1)
+        .drop("__sv")
+    )
 
 
 def curation_table(
@@ -55,7 +78,9 @@ def curation_table(
     ).otherwise(F.lit("NOT_CONTAINED"))
     cell = F.concat_ws("|", "term_id", "label_norm", "confidence", status)
     ranked = (
-        rank_candidates(candidates.join(unresolved, "mention_norm", "inner"))
+        rank_candidates(
+            dedupe_surface_variants(candidates.join(unresolved, "mention_norm", "inner"))
+        )
         .filter(F.col("rank") <= max_candidates)
         .withColumn("cell", cell)
         .groupBy("mention_norm")

@@ -19,9 +19,10 @@ Reference analogs:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..config import PRED_DIRECT, STOPLIST
+from ..config import MAPPING_LITERAL_THRESHOLD, PRED_DIRECT, STOPLIST
 from ..functions.ontology import curie_from_iri
 
 def _empty_str_array() -> Column:
@@ -90,9 +91,62 @@ def _mapping_map(mappings: list[tuple[str, str, str]]) -> Column:
     return F.create_map(*entries)
 
 
-def with_disease_groups(df: DataFrame, mappings: list[tuple[str, str, str]],
-                        stoplist: frozenset[str] = STOPLIST) -> DataFrame:
-    """A2 as pure in-row array algebra over the per-turn mention array `ms`
+_DG_STRUCT = (
+    "struct<valid_names: array<string>, "
+    "disease_groups: array<struct<disease_from_source: string, disease_mapped_id: string>>, "
+    "n_mapped_terms: int>"
+)
+
+
+def _disease_groups_udf(mappings: list[tuple[str, str, str]], stoplist: frozenset[str]):
+    """Arrow-batched twin of the literal-map path for large mapping tables:
+    the mention->terms dict lives in the UDF closure (shipped once per
+    executor, like the extraction gazetteer), so the PLAN stays O(1) in the
+    mapping size instead of carrying a |mapping|-entry create_map literal.
+    Semantics are identical to the in-row array algebra below
+    (tests/test_evidence_product.py pins the equality)."""
+    by_mention: dict[str, list[str]] = {}
+    for mention, iri, _label in mappings:
+        by_mention.setdefault(mention.lower(), []).append(iri.rsplit("/", 1)[-1])
+    term_map = {m: sorted(set(ts)) for m, ts in by_mention.items()}
+    stop = frozenset(stoplist)
+
+    @F.pandas_udf(_DG_STRUCT)
+    def derive(ms: pd.Series) -> pd.DataFrame:
+        names_out, groups_out, n_out = [], [], []
+        for arr in ms:
+            if arr is None:
+                arr = []
+            valid = sorted({m["mention_norm"] for m in arr} - stop)
+            terms_all = sorted({t for n in valid for t in term_map.get(n, ())})
+            rep = {}
+            for n in valid:  # ascending -> first writer is the lexicographic min
+                for t in term_map.get(n, ()):
+                    rep.setdefault(t, n)
+            groups = [
+                {"disease_from_source": rep[t], "disease_mapped_id": t} for t in terms_all
+            ] + [
+                {"disease_from_source": n, "disease_mapped_id": None}
+                for n in valid
+                if n not in term_map
+            ]
+            names_out.append(valid)
+            groups_out.append(groups)
+            n_out.append(len(terms_all))
+        return pd.DataFrame(
+            {"valid_names": names_out, "disease_groups": groups_out, "n_mapped_terms": n_out}
+        )
+
+    return derive
+
+
+def with_disease_groups(
+    df: DataFrame,
+    mappings: list[tuple[str, str, str]],
+    stoplist: frozenset[str] = STOPLIST,
+    literal_threshold: int = MAPPING_LITERAL_THRESHOLD,
+) -> DataFrame:
+    """A2 as pure in-row derivation over the per-turn mention array `ms`
     (zero shuffle): adds
       valid_names         — distinct non-stoplisted mentions of the turn
       cohort_phenotypes   — sorted CSV of valid_names (:247)
@@ -102,7 +156,25 @@ def with_disease_groups(df: DataFrame, mappings: list[tuple[str, str, str]],
                             mention mapping to it, :420-422) plus one entry
                             per unmapped mention with NULL term (:404-410)
       has_mapping         — contains_mapping analog (:423)
+
+    Size gate: small vocabularies inline the mention->terms dictionary as a
+    literal map (whole-stage codegen, no Python); above `literal_threshold`
+    mapping rows the same derivation runs as ONE Arrow pandas UDF with a
+    closure dict — a 13k-row mapping as a create_map literal is a ~26k-node
+    expression tree evaluated per row (plan bloat, codegen blowup, no
+    pushdown), the exact pathology the gate avoids.
     """
+    if len(mappings) > literal_threshold:
+        dg = _disease_groups_udf(mappings, stoplist)(F.col("ms"))
+        return (
+            df.withColumn("__dg", dg)
+            .withColumn("valid_names", F.col("__dg.valid_names"))
+            .withColumn("cohort_phenotypes", F.array_join("__dg.valid_names", ","))
+            .withColumn("disease_groups", F.col("__dg.disease_groups"))
+            .withColumn("n_mapped_terms", F.col("__dg.n_mapped_terms"))
+            .withColumn("has_mapping", F.col("__dg.n_mapped_terms") > 0)
+            .drop("__dg")
+        )
     m = _mapping_map(mappings)
     names = F.array_sort(
         F.array_distinct(
@@ -248,6 +320,100 @@ def evidence_to_json(evidence: DataFrame) -> DataFrame:
             F.struct(*[F.col(c) for c in EVIDENCE_COLUMNS]),
             {"ignoreNullFields": "true"},
         ).alias("evidence")
+    )
+
+
+def ot_evidence_json(records: DataFrame) -> DataFrame:
+    """Open-Targets-shaped evidence strings from a record-grain frame — the
+    column-level twin of the reference's generate_evidence_string
+    (clinvar_to_evidence_strings.py:204-263), byte-compatible with its
+    golden fixtures after canonical re-serialization
+    (tests/test_ot_golden.py byte-compares against the reference's own
+    expected_*_evidence_string.json).
+
+    Input columns: allele_origins (the explicit per-evidence origin group),
+    significance_raw, review_status, mode_of_inheritance, pubmed_refs,
+    accession, created_date, target_gene_id, so_accession, chr, vcf_pos,
+    vcf_ref, vcf_alt, rs_id, vcv_id, preferred_current_hgvs,
+    cohort_phenotypes, disease_name, disease_source_id,
+    disease_mapped_efo_id.
+
+    Output: one `evidence` JSON string per row, camelCase keys in sorted
+    order, empty values (NULL / empty list) stripped — the reference's
+    `{k: v for k, v in ... if v}` (:262)."""
+    from .. import fixtures
+    from ..functions.normalize import format_creation_date, normalize_significance
+
+    def non_empty(arr: Column) -> Column:
+        return F.when(F.size(arr) > 0, arr)
+
+    is_somatic = F.col("allele_origins") == F.array(F.lit("somatic"))
+    valid_sigs = F.filter(
+        normalize_significance(F.col("significance_raw")),
+        lambda s: ~s.isin(*sorted(fixtures.INVALID_SIGNIFICANCES)),
+    )
+    coords_ok = (
+        F.col("chr").isNotNull()
+        & F.col("vcf_pos").isNotNull()
+        & F.col("vcf_ref").isNotNull()
+        & F.col("vcf_alt").isNotNull()
+    )
+    payload = F.struct(
+        non_empty(F.col("allele_origins")).alias("alleleOrigins"),
+        non_empty(F.col("mode_of_inheritance")).alias("allelicRequirements"),
+        non_empty(valid_sigs).alias("clinicalSignificances"),
+        non_empty(F.col("cohort_phenotypes")).alias("cohortPhenotypes"),
+        F.col("review_status").alias("confidence"),
+        F.when(is_somatic, "eva_somatic").otherwise("eva").alias("datasourceId"),
+        F.when(is_somatic, "somatic_mutation")
+        .otherwise("genetic_association")
+        .alias("datatypeId"),
+        F.col("disease_name").alias("diseaseFromSource"),
+        F.col("disease_source_id").alias("diseaseFromSourceId"),
+        F.element_at(F.split("disease_mapped_efo_id", "/"), -1).alias(
+            "diseaseFromSourceMappedId"
+        ),
+        non_empty(F.array_sort(F.array_distinct("pubmed_refs"))).alias("literature"),
+        F.nullif(format_creation_date(F.col("created_date")), F.lit("")).alias("releaseDate"),
+        F.col("accession").alias("studyId"),
+        F.col("target_gene_id").alias("targetFromSourceId"),
+        F.col("vcv_id").alias("variantFromSourceId"),
+        F.col("so_accession").alias("variantFunctionalConsequenceId"),
+        F.col("preferred_current_hgvs").alias("variantHgvsId"),
+        F.when(coords_ok, F.concat_ws("_", "chr", "vcf_pos", "vcf_ref", "vcf_alt")).alias(
+            "variantId"
+        ),
+        F.col("rs_id").alias("variantRsId"),
+    )
+    return records.select(
+        F.to_json(payload, {"ignoreNullFields": "true"}).alias("evidence")
+    )
+
+
+def feedback_export(records: DataFrame, mappings: DataFrame) -> DataFrame:
+    """J6 — the variant x trait feedback export (reference
+    bin/traits_to_zooma_format.py:22-39): every (variant id in {rs, nsv}) x
+    (valid trait name) pair of a record, one row per curated mapping of the
+    name, with the mapping IRI as the semantic tag.
+
+    `mappings` is the (mention_norm, iri, ...) curated table as a DataFrame —
+    joined BROADCAST, never inlined into the plan as a literal map (the
+    13k-row production mapping table must stay a join-side relation; see
+    MAPPING_LITERAL_THRESHOLD)."""
+    variant_ids = F.array_compact(F.array("variant_rs_id", "variant_nsv_id"))
+    m = F.broadcast(mappings.select(F.col("mention_norm").alias("property_value"), "iri"))
+    return (
+        records.withColumn("bioentity", F.explode(variant_ids))
+        .withColumn("property_value", F.explode("valid_names"))
+        .join(m, "property_value", "inner")
+        .select(
+            F.col("study_id").alias("study"),
+            "bioentity",
+            F.lit("disease").alias("property_type"),
+            "property_value",
+            F.col("iri").alias("semantic_tag"),
+            F.lit("clinvar-xrefs").alias("annotator"),
+        )
     )
 
 

@@ -73,6 +73,16 @@ def make_extract_udf(vocabulary: list[str]):
     equality of the two implementations is pinned by
     tests/test_mentions.py::test_regex_extractor_equals_token_loop.
     """
+    # The matching contract (and the oracle's g1/g2 SQL) is unigram/bigram
+    # only: a 3+-token term would match here via the bigram regex but never
+    # in the token-loop reference or the DuckDB twin — reject it loudly
+    # instead of silently diverging.
+    too_long = sorted(w for w in vocabulary if w.count(" ") > 1)
+    if too_long:
+        raise ValueError(
+            f"vocabulary terms with >2 tokens unsupported by the unigram/bigram "
+            f"gazetteer contract: {too_long[:5]}"
+        )
     unigrams = sorted(w for w in vocabulary if " " not in w and w)
     bigrams = sorted(w for w in vocabulary if " " in w)
     uni_pat = _gazetteer_pattern(unigrams) if unigrams else None

@@ -1,17 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libs in this container): set
-`fake=True` for a deterministic stand-in that exercises the full Spark-side
-path (schema, partitioning, UDF signature, batch shape), or `fake=False` to
-get the honest NotImplementedError where a real decoder (PIL/libsndfile)
-would plug in. Everything around the stub — the schemas, the mapInPandas
-batching, the partition strategy — is real and tested.
+Decode paths:
+  * REAL, dependency-free (fake=False): PCM WAV (RIFF chunk walk + 16-bit
+    PCM per-segment RMS) and binary PPM / P6 images (header parse +
+    per-segment byte means) — container formats simple enough to decode
+    with the standard library only. Other formats (JPEG/PNG/MP3/...) raise
+    NotImplementedError where a codec lib (PIL/libsndfile) would plug in.
+  * FAKE (fake=True): deterministic hash-derived features exercising the
+    full Spark-side path for any payload.
+Everything around the decoders — the schemas, the mapInPandas batching, the
+partition strategy — is identical between the two paths.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -50,6 +55,86 @@ FEATURES = StructType(
 )
 
 
+def _wav_features(content: bytes, dim: int = 8) -> list[float]:
+    """Real PCM WAV decode (RIFF container walk, no codec lib): per-segment
+    RMS amplitude of the 16-bit PCM stream, normalized to [0, 1] — `dim`
+    equal time segments."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, _channels, _rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV is decoded without codec libs")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+    out = []
+    for seg in range(dim):
+        chunk = samples[seg * n // dim : (seg + 1) * n // dim]
+        if not chunk:
+            out.append(0.0)
+        else:
+            out.append((sum(s * s for s in chunk) / len(chunk)) ** 0.5 / 32768.0)
+    return out
+
+
+def _ppm_features(content: bytes, dim: int = 8) -> list[float]:
+    """Real binary-PPM (P6) decode: header token parse (comments honored),
+    then per-segment mean byte value of the RGB raster, normalized by
+    maxval — `dim` equal raster segments."""
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3 and pos < len(content):
+        c = content[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(content[start:pos]))
+    if len(tokens) != 3:
+        raise ValueError("truncated PPM header")
+    width, height, maxval = tokens
+    pos += 1  # single whitespace after maxval
+    raster = content[pos : pos + width * height * 3]
+    if len(raster) < width * height * 3:
+        raise ValueError("truncated PPM raster")
+    n = len(raster)
+    out = []
+    for seg in range(dim):
+        chunk = raster[seg * n // dim : (seg + 1) * n // dim]
+        out.append((sum(chunk) / len(chunk)) / maxval if chunk else 0.0)
+    return out
+
+
+def _real_decode_features(content: bytes, dim: int = 8) -> list[float]:
+    """Dispatch on magic bytes; formats needing a codec library raise the
+    honest NotImplementedError."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _wav_features(content, dim)
+    if content[:2] == b"P6":
+        return _ppm_features(content, dim)
+    raise NotImplementedError(
+        "only PCM WAV and binary PPM decode without codec libs; "
+        "JPEG/PNG/MP3/video need PIL/libsndfile/ffmpeg"
+    )
+
+
 def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake 'decoder': features derived from the content hash.
     Stands in for resize/frame-sample/spectrogram until a real codec lib is
@@ -68,19 +153,17 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
     interacts with row width — binary columns dominate).
     """
 
+    decode = _fake_decode_features if fake else _real_decode_features
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/libsndfile — not available in this container"
-                )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["content"].map(len).astype("int32"),
                     "content_sha": pdf["content"].map(lambda b: hashlib.sha256(b).hexdigest()),
-                    "feature": pdf["content"].map(lambda b: _fake_decode_features(b, dim)),
+                    "feature": pdf["content"].map(lambda b: decode(b, dim)),
                 }
             )
             yield out

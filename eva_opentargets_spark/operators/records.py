@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .. import fixtures
-from ..functions.normalize import format_creation_date, normalize_significance
+from ..functions.normalize import (
+    format_creation_date,
+    is_repeat_expansion_variant,
+    microsatellite_category,
+    normalize_significance,
+)
+from ..sources.transcripts import N_CONVERSATIONS
 
 def _empty_str_array() -> Column:
     return F.array().cast("array<string>")
@@ -38,7 +44,7 @@ def doc_id_col() -> Column:
     inverse of sources.transcripts.derive_transcripts. try-safe for salted
     conv_ids ('c0012_7' -> 12) so replicated bench corpora still derive."""
     conv_num = F.regexp_extract("conv_id", r"^c(\d+)", 1).try_cast("int")
-    return (F.col("turn_idx") * 100 + conv_num).cast("bigint")
+    return (F.col("turn_idx") * N_CONVERSATIONS + conv_num).cast("bigint")
 
 
 def _pick(values: list, idx: Column) -> Column:
@@ -85,6 +91,13 @@ def with_record_attrs(turns: DataFrame) -> DataFrame:
     stars = _pick([n for _, n in fixtures.REVIEW_STATUS_STARS], d)
     has_measure = d % 19 != 0
     has_coords = has_measure & (d % 13 != 0)
+    # synthetic measure type + VCF alleles: insertion length
+    # 3*(d%7) - (0 or 4) covers deletions (<0), short expansions (<12) and
+    # true repeat expansions (>=12) — both sides of the threshold
+    variant_type = F.when(has_measure, _pick(fixtures.VARIANT_TYPES, d))
+    vcf_ref = F.when(has_coords, F.when(d % 5 == 0, "ACGT").otherwise("A"))
+    vcf_alt = F.when(has_coords, F.concat(F.lit("A"), F.repeat(F.lit("CAG"), (d % 7).cast("int"))))
+    ms_category = microsatellite_category(variant_type, has_coords, vcf_ref, vcf_alt)
     pad = F.lpad(d.cast("string"), 9, "0")
     pm1 = (F.lit(100000) + d % 97).cast("string")
     pm2 = (F.lit(200000) + d % 89).cast("string")
@@ -105,6 +118,11 @@ def with_record_attrs(turns: DataFrame) -> DataFrame:
         .withColumn("n_classifications", (F.lit(1) + (d % 23 == 0).cast("int")).cast("int"))
         .withColumn("has_measure", has_measure)
         .withColumn("has_complete_coordinates", has_coords)
+        .withColumn("variant_type", variant_type)
+        .withColumn("vcf_ref", vcf_ref)
+        .withColumn("vcf_alt", vcf_alt)
+        .withColumn("microsatellite_category", ms_category)
+        .withColumn("is_repeat_expansion", is_repeat_expansion_variant(ms_category))
         .withColumn("rcv_key", F.when(has_measure, F.concat(F.lit("r"), (d % 31).cast("string"))))
         .withColumn("coord_key", F.when(has_coords, F.concat(F.lit("v"), (d % 29).cast("string"))))
         .withColumn("hgvs_key", F.when(has_measure, F.concat(F.lit("h"), (d % 17).cast("string"))))
@@ -126,7 +144,10 @@ def with_record_attrs(turns: DataFrame) -> DataFrame:
 
 
 def doc_id_sql() -> str:
-    return "(turn_idx * 100 + CAST(regexp_extract(conv_id, '^c(\\d+)', 1) AS INT))"
+    return (
+        f"(turn_idx * {N_CONVERSATIONS}"
+        " + CAST(regexp_extract(conv_id, '^c(\\d+)', 1) AS INT))"
+    )
 
 
 def _case_by_mod(doc_id: str, values: list[str], quote: bool = True) -> str:
@@ -142,7 +163,21 @@ def record_attrs_sql(doc_id: str = "doc_id") -> str:
     column — the oracle twin of :func:`with_record_attrs`. Per-residue
     significance/origin constants are precomputed with the same Python twins
     the tests cross-check against the Spark array logic."""
+    from ..config import REPEAT_EXPANSION_THRESHOLD
+
     d = doc_id
+    coords = f"({d} % 19 <> 0 AND {d} % 13 <> 0)"
+    vt = f"(CASE WHEN {d} % 19 <> 0 THEN {_case_by_mod(d, fixtures.VARIANT_TYPES)} END)"
+    vref = f"(CASE WHEN {coords} THEN CASE WHEN {d} % 5 = 0 THEN 'ACGT' ELSE 'A' END END)"
+    valt = f"(CASE WHEN {coords} THEN 'A' || repeat('CAG', CAST({d} % 7 AS INT)) END)"
+    ins = f"(length({valt}) - length({vref}))"
+    ms_cat = (
+        f"(CASE WHEN {vt} = 'Microsatellite' THEN"
+        f" CASE WHEN NOT {coords} THEN 'no_complete_coords'"
+        f" WHEN {ins} < 0 THEN 'deletion'"
+        f" WHEN {ins} < {REPEAT_EXPANSION_THRESHOLD} THEN 'short_expansion'"
+        f" ELSE 'repeat_expansion' END END)"
+    )
     sig_csv = _case_by_mod(d, [",".join(fixtures.valid_significances_py(s)) for s in fixtures.SIGNIFICANCE_RAW])
     has_valid_sig = _case_by_mod(
         d,
@@ -161,6 +196,11 @@ def record_attrs_sql(doc_id: str = "doc_id") -> str:
   CAST(1 + CASE WHEN {d} % 23 = 0 THEN 1 ELSE 0 END AS INT) AS n_classifications,
   ({d} % 19 <> 0) AS has_measure,
   ({d} % 19 <> 0 AND {d} % 13 <> 0) AS has_complete_coordinates,
+  {vt} AS variant_type,
+  {vref} AS vcf_ref,
+  {valt} AS vcf_alt,
+  {ms_cat} AS microsatellite_category,
+  coalesce({ms_cat} IN ('repeat_expansion', 'no_complete_coords'), FALSE) AS is_repeat_expansion,
   CASE WHEN {d} % 19 <> 0 THEN 'r' || CAST({d} % 31 AS VARCHAR) END AS rcv_key,
   CASE WHEN {d} % 19 <> 0 AND {d} % 13 <> 0 THEN 'v' || CAST({d} % 29 AS VARCHAR) END AS coord_key,
   CASE WHEN {d} % 19 <> 0 THEN 'h' || CAST({d} % 17 AS VARCHAR) END AS hgvs_key,

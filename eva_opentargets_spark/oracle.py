@@ -209,7 +209,8 @@ SELECT mention_norm, term_id, confidence, rank FROM (
            PARTITION BY mention_norm
            ORDER BY CASE confidence WHEN 'HIGH' THEN 4 WHEN 'GOOD' THEN 3
                                     WHEN 'MEDIUM' THEN 2 ELSE 1 END DESC,
-                    in_ontology DESC, is_current DESC, term_id ASC
+                    in_ontology DESC, is_current DESC, term_id ASC,
+                    lev ASC, label_norm ASC
          ) AS rank
   FROM cands
 ) WHERE rank = 1""",
@@ -233,6 +234,45 @@ SELECT counter, value FROM (
   UNION ALL SELECT 'linked_xref', count(DISTINCT mention_norm)::BIGINT FROM xref_links
   UNION ALL SELECT 'linked_replacement', count(DISTINCT mention_norm)::BIGINT FROM repl_links
 )""",
+        # W2-W4 + F11/F12 — the curation sheet: surface variants deduped per
+        # (mention, term) keeping the (lev, label) minimum, then the W1 total
+        # order, top-50 cap, '|'-packed cells joined best-first
+        # (create_table_for_manual_curation.py:49-57,96-107)
+        "kg_curation": p
+        + """
+, cand_un AS (
+  SELECT c.* FROM cands c JOIN un4 USING (mention_norm)
+),
+cands_dd AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (
+      PARTITION BY mention_norm, term_id ORDER BY lev ASC, label_norm ASC
+    ) AS sv
+    FROM cand_un c
+  ) WHERE sv = 1
+),
+ranked AS (
+  SELECT mention_norm,
+         term_id || '|' || label_norm || '|' || confidence || '|' ||
+         CASE WHEN in_ontology AND is_current THEN 'EFO_CURRENT'
+              WHEN in_ontology AND NOT is_current THEN 'EFO_OBSOLETE'
+              ELSE 'NOT_CONTAINED' END AS cell,
+         row_number() OVER (
+           PARTITION BY mention_norm
+           ORDER BY CASE confidence WHEN 'HIGH' THEN 4 WHEN 'GOOD' THEN 3
+                                    WHEN 'MEDIUM' THEN 2 ELSE 1 END DESC,
+                    in_ontology DESC, is_current DESC, term_id ASC,
+                    lev ASC, label_norm ASC
+         ) AS rank
+  FROM cands_dd
+),
+packed AS (
+  SELECT mention_norm, array_to_string(list(cell ORDER BY rank), ';') AS candidates_packed
+  FROM ranked WHERE rank <= 50 GROUP BY mention_norm
+)
+SELECT u.mention_norm, u.freq,
+       coalesce(p.candidates_packed, '') AS candidates_packed
+FROM un4 u LEFT JOIN packed p USING (mention_norm)""",
         "kg_annotated": p
         + """
 , per_turn AS (
@@ -396,6 +436,11 @@ cas AS (
 )
 SELECT conv_id, turn_idx, matched_by, ensembl_gene_id, gene_symbol, so_term
 FROM cas""",
+        "kg_microsatellite": p
+        + """
+SELECT conv_id, turn_idx, variant_type, vcf_ref, vcf_alt,
+       microsatellite_category, is_repeat_expansion
+FROM recs WHERE valid AND has_measure""",
         "kg_gauntlet": p
         + f"""
 SELECT {_GAUNTLET_REASON} AS reason, count(*)::BIGINT AS n_records

@@ -43,6 +43,7 @@ class PipelineResult:
     extracted: DataFrame  # one row per turn: (conv_id, turn_idx, valid, ms)
     mentions_all: DataFrame  # includes stop-listed (for counters)
     mentions: DataFrame
+    distinct_all: DataFrame  # A1 pre-agg incl. stop-listed rows (persisted)
     distinct: DataFrame
     links: DataFrame
     candidates: DataFrame
@@ -52,8 +53,9 @@ class PipelineResult:
 
     def unpersist(self) -> None:
         """Release the executor-memory footprint of a finished run (the
-        extracted cache + the dictionary-scale cascade persists)."""
+        extracted cache + the dictionary-scale distinct/cascade persists)."""
         self.extracted.unpersist()
+        self.distinct_all.unpersist()
         unpersist_cascade(self.links)
 
 
@@ -64,6 +66,7 @@ def run_pipeline(
     xrefs: DataFrame | None = None,
     vocabulary: list[str] | None = None,
     persist_extracted: bool = False,
+    spill_dir: str | None = None,
 ) -> PipelineResult:
     terms = terms if terms is not None else demo_terms(spark)
     xrefs = xrefs if xrefs is not None else demo_xrefs(spark)
@@ -87,7 +90,23 @@ def run_pipeline(
 
     mentions_all = occurrences(extracted, drop_stoplisted=False)
     mentions = mentions_all.filter(~F.col("mention_norm").isin(*sorted(STOPLIST)))
-    distinct = distinct_mentions(mentions)
+    # A1 pre-agg over ALL mentions (stoplisted rows retained, filtered
+    # after the groupBy — identical groups, since the stoplist predicate is
+    # on the group key). distinct_all is dictionary-scale and persisted: it
+    # is the ONE corpus scan that runs the extraction UDF on the metrics
+    # path — the cascade and every mention-grain counter derive from it.
+    # With spill_dir set, the persist becomes an explicit storage
+    # materialization instead (S6 parse/process phase boundary, reference
+    # trait_mapping/main.py:78-97) — the right choice at 100 TB, where the
+    # boundary must survive executor loss.
+    distinct_all = distinct_mentions(mentions_all)
+    if spill_dir:
+        from .plans.checkpoint import spill_reload
+
+        distinct_all = spill_reload(distinct_all, f"{spill_dir}/distinct_mentions")
+    else:
+        distinct_all = distinct_all.persist()
+    distinct = distinct_all.filter(~F.col("mention_norm").isin(*sorted(STOPLIST)))
     links, candidates, unresolved = link_cascade(distinct, terms, xrefs)
     # shuffle-free triple path: per-turn uniqueness established inside the
     # extraction row (array_distinct on the same ms column), not via a
@@ -100,6 +119,7 @@ def run_pipeline(
         extracted=extracted,
         mentions_all=mentions_all,
         mentions=mentions,
+        distinct_all=distinct_all,
         distinct=distinct,
         links=links,
         candidates=candidates,
@@ -118,57 +138,55 @@ def compute_metrics(
 ) -> DataFrame:
     """A3 — the Report-counter analog (cmat/output_generation/report.py:17-77).
 
-    ONE aggregation job over the (cached) per-turn extraction table yields
-    every corpus-grain counter — turns, exclusions, mention totals, stoplist
-    hits AND the triple count (per-turn distinct links resolved via a
-    broadcast map lookup inside the same pass) — so metrics cost one scan,
-    not one job per counter. The remaining counters come from the
-    dictionary-scale link tables (already persisted by link_cascade).
+    Scan discipline (round-3 fix — the round-2 standalone path re-ran the
+    extraction UDF for `result.distinct.count()`): the extraction UDF runs in
+    exactly ONE corpus scan — the one that materializes the persisted
+    `distinct_all` pre-aggregation — and every mention-grain counter derives
+    from that dictionary-scale table:
+      * mentions_total / mentions_stoplisted: sums of its `occurrences`
+      * mentions_distinct: its non-stoplisted row count
+      * triples_emitted: sum(freq x link-fanout) over non-stoplisted rows —
+        freq counts distinct (conv, turn) pairs per mention, so the sum IS
+        the per-turn-distinct triple count, no per-turn pass needed
+    The only other corpus scan (turn counters) prunes the `ms` column away,
+    so it never evaluates the UDF. Link-grain counters come from the
+    persisted cascade tables.
     """
     stop = sorted(STOPLIST)
-    # triple count without a second job: triples_emitted == sum over turns of
-    # |distinct non-stoplisted mentions in turn ∩ link keys| x links per key.
-    # links is dictionary-scale and already persisted -> collect is cheap.
-    link_fanout = {
-        r["mention_norm"]: r["n"]
-        for r in result.links.groupBy("mention_norm").agg(F.count("*").alias("n")).collect()
-    }
-    if link_fanout:
-        fanout_map = F.create_map(
-            *[F.lit(x) for kv in sorted(link_fanout.items()) for x in kv]
-        )
-        per_turn_names = F.array_distinct(F.transform("ms", lambda m: m["mention_norm"]))
-        triple_contrib = F.aggregate(
-            F.filter(per_turn_names, lambda n: ~n.isin(*stop)),
-            F.lit(0).cast("long"),
-            lambda acc, n: acc + F.coalesce(fanout_map[n], F.lit(0)).cast("long"),
-        )
-    else:
-        triple_contrib = F.lit(0).cast("long")
-    row = result.extracted.agg(
+    trow = result.extracted.agg(
         F.count("*").alias("turns_total"),
         F.sum((~F.col("valid")).cast("long")).alias("turns_excluded"),
-        F.sum(F.size("ms")).alias("mentions_total"),
-        F.sum(
-            F.size(F.filter("ms", lambda m: m["mention_norm"].isin(*stop)))
-        ).alias("mentions_stoplisted"),
-        F.sum(triple_contrib).alias("triples_emitted"),
     ).first()
-    # dictionary-scale tables: links is persisted; distinct/unresolved derive
-    # from the cached extraction, so these counts re-scan nothing at scale.
+    fanout = result.links.groupBy("mention_norm").agg(F.count("*").alias("__n"))
+    is_stop = F.col("mention_norm").isin(*stop)
+    zero = F.lit(0).cast("long")
+    mrow = (
+        result.distinct_all.join(F.broadcast(fanout), "mention_norm", "left")
+        .agg(
+            F.sum("occurrences").alias("mentions_total"),
+            F.sum(F.when(is_stop, F.col("occurrences")).otherwise(zero)).alias(
+                "mentions_stoplisted"
+            ),
+            F.sum(
+                F.when(~is_stop, F.col("freq") * F.coalesce(F.col("__n"), zero)).otherwise(zero)
+            ).alias("triples_emitted"),
+            F.sum((~is_stop).cast("long")).alias("mentions_distinct"),
+        )
+        .first()
+    )
     counters = [
-        ("turns_total", row["turns_total"]),
-        ("turns_excluded", row["turns_excluded"] or 0),
-        ("mentions_total", row["mentions_total"] or 0),
-        ("mentions_stoplisted", row["mentions_stoplisted"] or 0),
-        ("mentions_valid", (row["mentions_total"] or 0) - (row["mentions_stoplisted"] or 0)),
-        ("triples_emitted", row["triples_emitted"] or 0),
+        ("turns_total", trow["turns_total"]),
+        ("turns_excluded", trow["turns_excluded"] or 0),
+        ("mentions_total", mrow["mentions_total"] or 0),
+        ("mentions_stoplisted", mrow["mentions_stoplisted"] or 0),
+        ("mentions_valid", (mrow["mentions_total"] or 0) - (mrow["mentions_stoplisted"] or 0)),
+        ("triples_emitted", mrow["triples_emitted"] or 0),
     ]
     if not corpus_only:
         # link-grain counters are NOT additive across disjoint corpus waves
         # (the same mention can resolve in several waves) — wave callers pass
         # corpus_only=True and compute these once from the global cascade.
-        counters.insert(5, ("mentions_distinct", result.distinct.count()))
+        counters.insert(5, ("mentions_distinct", mrow["mentions_distinct"] or 0))
         counters.insert(6, ("unmapped", result.unresolved.count()))
         by_type = {
             r["match_type"]: r["n"]

@@ -110,6 +110,21 @@ def kg_metrics(spark, sf_dir):
     return compute_metrics(spark, res).select("counter", "value")
 
 
+def kg_curation(spark, sf_dir):
+    """W2-W4 + F11/F12 — the manual-curation sheet end-to-end: one row per
+    unresolved mention with its frequency and up to 50 best-first packed
+    candidate cells 'term|label|confidence|status'
+    (bin/trait_mapping/create_table_for_manual_curation.py:49-57,96-107).
+    The array cell column is ';'-packed so the value-hash compare is
+    portable."""
+    res = _pipeline(spark, sf_dir)
+    return res.curation.select(
+        "mention_norm",
+        "freq",
+        F.concat_ws(";", "candidates").alias("candidates_packed"),
+    )
+
+
 def _curated_mappings(spark):
     from .schemas import TRAIT_MAPPINGS
 
@@ -199,6 +214,26 @@ def kg_consequences(spark, sf_dir):
     )
 
 
+def kg_microsatellite(spark, sf_dir):
+    """P8 remainder — microsatellite classification with the 12-base
+    REPEAT_EXPANSION_THRESHOLD + the span-form is_repeat_expansion_variant
+    predicate (clinvar_measure.py:21,160-183), over the record model's
+    synthetic measures (both sides of the threshold exercised)."""
+    return (
+        _record_frame(spark, sf_dir)
+        .filter(F.col("valid") & F.col("has_measure"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "variant_type",
+            "vcf_ref",
+            "vcf_alt",
+            "microsatellite_category",
+            "is_repeat_expansion",
+        )
+    )
+
+
 def kg_gauntlet(spark, sf_dir):
     """P4 — ordered failure gauntlet: ONE reason column, ONE aggregation
     (clinvar_to_evidence_strings.py:83-176 + report.py:27-37)."""
@@ -240,34 +275,13 @@ def kg_evidence(spark, sf_dir):
 def kg_feedback(spark, sf_dir):
     """J6 — the variant x trait feedback export (bin/traits_to_zooma_format
     .py:22-39): every (variant_id in {rs, nsv}) x (mapped trait) pair per
-    record, with the mapping IRI as the semantic tag."""
+    record, with the mapping IRI as the semantic tag. The mapping table is a
+    broadcast join side (scale-safe at the 13k-row production size), not a
+    plan literal."""
+    from .operators.evidence import feedback_export
+
     recs = _record_frame(spark, sf_dir).filter(F.col("valid") & F.col("has_measure"))
-    variant_ids = F.array_compact(F.array("variant_rs_id", "variant_nsv_id"))
-    # mention -> array of mapping IRIs (one feedback row per xref-like
-    # mapping, so the multi-mapped "merge" emits two tags per pair)
-    by_mention: dict[str, list[str]] = {}
-    for mention, iri, _ in fixtures.CURATED_MAPPINGS:
-        by_mention.setdefault(mention, []).append(iri)
-    iri_map = F.create_map(
-        *[
-            F.lit(x)
-            for mention, iris in sorted(by_mention.items())
-            for x in (mention, F.array(*[F.lit(i) for i in sorted(iris)]))
-        ]
-    )
-    exploded = (
-        recs.withColumn("bioentity", F.explode(variant_ids))
-        .withColumn("property_value", F.explode("valid_names"))
-        .withColumn("semantic_tag", F.explode(F.element_at(iri_map, F.col("property_value"))))
-    )
-    return exploded.select(
-        F.col("study_id").alias("study"),
-        "bioentity",
-        F.lit("disease").alias("property_type"),
-        "property_value",
-        "semantic_tag",
-        F.lit("clinvar-xrefs").alias("annotator"),
-    )
+    return feedback_export(recs, _curated_mappings(spark))
 
 
 def kg_eval_metrics(spark, sf_dir):
@@ -452,11 +466,13 @@ QUERIES = {
     "kg_mapping_merge": kg_mapping_merge,
     "kg_best_candidate": kg_best_candidate,
     "kg_metrics": kg_metrics,
+    "kg_curation": kg_curation,
     "kg_curated_triples": kg_curated_triples,
     "kg_grouped_by_term": kg_grouped_by_term,
     "kg_annotated": kg_annotated,
     "kg_classification": kg_classification,
     "kg_consequences": kg_consequences,
+    "kg_microsatellite": kg_microsatellite,
     "kg_gauntlet": kg_gauntlet,
     "kg_evidence": kg_evidence,
     "kg_feedback": kg_feedback,

@@ -96,6 +96,176 @@ def parse_clinvar_traits(spark: SparkSession, paths: list[str]) -> DataFrame:
     return paths_df.mapInPandas(parse, TRAIT_SCHEMA)
 
 
+# --- full record scan (S1 record grain, for evidence generation) ----------
+
+RECORD_SCHEMA = (
+    "accession string, vcv_id string, created_date string, "
+    "review_status string, significance_raw string, n_classifications int, "
+    "mode_of_inheritance array<string>, pubmed_refs array<string>, "
+    "allele_origins array<string>, variant_type string, rs_id string, "
+    "nsv_id string, chr string, vcf_pos string, vcf_ref string, "
+    "vcf_alt string, preferred_current_hgvs string, "
+    "cohort_phenotypes array<string>"
+)
+
+
+def _hgvs_ref_seq(text: str) -> str | None:
+    """Sequence id before the ':' minus the parenthetical (the
+    reference_sequence group of hgvs_variant.py:29-37)."""
+    import re
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9_.]+)(?:\([a-zA-Z0-9_.]+\))?:", text)
+    return m.group(1) if m else None
+
+
+def _measure_fields(measure) -> dict:
+    """Measure-grain attributes (clinvar_measure.py): rs/nsv xrefs, GRCh38
+    VCF coordinates (skipped for Translocations or ambiguous locations,
+    :215-228), and preferred_current_hgvs with the reference's preference
+    order (:134-153): top-level RefSeq, else current∩genomic with the
+    location accession preferred, else lexicographically-first current."""
+    out: dict = {}
+    out["variant_type"] = measure.attrib.get("Type")
+    rs = [e.attrib["ID"] for e in measure.findall('./XRef[@DB="dbSNP"]')]
+    out["rs_id"] = "rs" + rs[0] if len(rs) == 1 else None
+    nsv = [
+        e.attrib["ID"]
+        for e in measure.findall('./XRef[@DB="dbVar"]')
+        if e.attrib.get("ID", "").startswith("nsv")
+    ]
+    out["nsv_id"] = nsv[0] if len(nsv) == 1 else None
+    locs = measure.findall('./SequenceLocation[@Assembly="GRCh38"]')
+    loc = locs[0] if len(locs) == 1 and out["variant_type"] != "Translocation" else None
+    for col, attr in (
+        ("chr", "Chr"), ("vcf_pos", "positionVCF"),
+        ("vcf_ref", "referenceAlleleVCF"), ("vcf_alt", "alternateAlleleVCF"),
+    ):
+        out[col] = loc.attrib.get(attr) if loc is not None else None
+    hgvs_types = {}
+    for attr_set in measure.findall("./AttributeSet"):
+        for a in attr_set.findall("./Attribute"):
+            t = a.attrib.get("Type", "")
+            if t.startswith("HGVS") and a.text:
+                hgvs_types[a.text] = {p.lower().strip() for p in t.split(",")}
+    toplevel = [h for h, ts in hgvs_types.items() if ts == {"hgvs", "genomic", "top level"}]
+    current = {h for h, ts in hgvs_types.items() if "previous" not in ts}
+    genomic = {h for h, ts in hgvs_types.items() if "genomic" in ts}
+    if toplevel:
+        out["preferred_current_hgvs"] = toplevel[0]
+    elif current:
+        current_genomic = sorted(current & genomic)
+        if current_genomic:
+            loc_acc = loc.attrib.get("Accession") if loc is not None else None
+            out["preferred_current_hgvs"] = next(
+                (h for h in current_genomic if _hgvs_ref_seq(h) == loc_acc),
+                current_genomic[0],
+            )
+        else:
+            out["preferred_current_hgvs"] = sorted(current)[0]
+    else:
+        out["preferred_current_hgvs"] = None
+    return out
+
+
+def _iter_records(path: str):
+    """One dict per RCV record, carrying every attribute evidence generation
+    needs (clinvar_record.py / clinvar_reference_record.py semantics;
+    supports both XSD v2 <Classifications> children and v1
+    <ClinicalSignificance>)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as fh:
+        for _, elem in ET.iterparse(fh):
+            if elem.tag != "ClinVarSet":
+                continue
+            rcv = elem.find("ReferenceClinVarAssertion")
+            if rcv is None:
+                elem.clear()
+                continue
+            acc_el = rcv.find("ClinVarAccession")
+            row: dict = {
+                "accession": acc_el.attrib.get("Acc") if acc_el is not None else None,
+                "created_date": acc_el.attrib.get("DateCreated") if acc_el is not None else None,
+            }
+            ms = rcv.find('./MeasureSet[@Type="Variant"]')
+            any_ms = rcv.find("./MeasureSet")
+            row["vcv_id"] = any_ms.attrib.get("Acc") if any_ms is not None else None
+            classifications = rcv.findall("./Classifications/*")
+            if not classifications:  # XSD v1 fallback
+                classifications = rcv.findall("./ClinicalSignificance")
+            row["n_classifications"] = len(classifications)
+            first = classifications[0] if classifications else None
+            row["review_status"] = (
+                first.findtext("./ReviewStatus") if first is not None else None
+            )
+            row["significance_raw"] = (
+                first.findtext("./Description") if first is not None else None
+            )
+            row["mode_of_inheritance"] = sorted(
+                {
+                    a.text
+                    for a in rcv.findall('./AttributeSet/Attribute[@Type="ModeOfInheritance"]')
+                    if a.text
+                }
+            )
+            # int-parse like the reference (clinvar_record.py:102-106), back
+            # to str for the literature list (:229)
+            row["pubmed_refs"] = [
+                str(int(e.text))
+                for e in rcv.findall('./ObservedIn/ObservedData/Citation/ID[@Source="PubMed"]')
+                if e.text and e.text.strip().isdigit()
+            ]
+            row["allele_origins"] = sorted(
+                {o.text for o in rcv.findall("./ObservedIn/Sample/Origin") if o.text}
+            )
+            measures = ms.findall("./Measure") if ms is not None else []
+            measure = measures[0] if len(measures) == 1 else None
+            if measure is not None:
+                row.update(_measure_fields(measure))
+            else:
+                row.update(
+                    {
+                        k: None
+                        for k in (
+                            "variant_type", "rs_id", "nsv_id", "chr", "vcf_pos",
+                            "vcf_ref", "vcf_alt", "preferred_current_hgvs",
+                        )
+                    }
+                )
+            # cohortPhenotypes: all valid names of traits that have a valid
+            # name (clinvar_to_evidence_strings.py:246-247)
+            names: set[str] = set()
+            trait_set = rcv.find("TraitSet")
+            for trait in trait_set.findall("Trait") if trait_set is not None else []:
+                all_names = [n.text for n in trait.findall("./Name/ElementValue") if n.text]
+                preferred = next(
+                    (n.text for n in trait.findall('./Name/ElementValue[@Type="Preferred"]')),
+                    None,
+                )
+                if _preferred_or_other_valid_name(preferred, all_names) is not None:
+                    names.update(
+                        n for n in all_names if n.lower() not in NONSPECIFIC_TRAITS
+                    )
+            row["cohort_phenotypes"] = sorted(names)
+            yield row
+            elem.clear()
+
+
+def parse_clinvar_records(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """One row per RCV record across the given XML files — the record-grain
+    S1 scan feeding OT evidence generation (one task per shard, bounded
+    memory via iterparse)."""
+    cols = [f.split(" ")[0] for f in RECORD_SCHEMA.split(", ")]
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = list(_iter_records(path))
+                yield pd.DataFrame(rows, columns=cols)
+
+    return paths_df.mapInPandas(parse, RECORD_SCHEMA)
+
+
 def clinvar_to_transcripts(traits: DataFrame) -> DataFrame:
     """Map parsed traits into the engine's transcript shape: the RCV record
     is the conversation, each trait a turn, the trait name the text — the

@@ -72,6 +72,61 @@ def test_stoplist_excluded_from_groups(spark):
     assert out["disease_groups"] == []
 
 
+def test_disease_grouping_udf_path_equals_literal_path(spark):
+    """The size-gated Arrow path (MAPPING_LITERAL_THRESHOLD) must be
+    row-identical to the literal-map path."""
+    df = spark.createDataFrame(
+        [
+            ("t1", 0, _ms(["gg", "dd", "cc", "bb", "aa", "ff", "ee"])),
+            ("t2", 1, _ms(["zzz"])),
+            ("t3", 2, _ms(["the", "a"])),
+            ("t4", 3, _ms([])),
+        ],
+        "conv_id string, turn_idx int, ms array<struct<pos:int,mention_norm:string>>",
+    )
+    cols = ["conv_id", "valid_names", "cohort_phenotypes", "disease_groups",
+            "n_mapped_terms", "has_mapping"]
+    lit = {r["conv_id"]: r for r in with_disease_groups(df, REF_MAPPINGS).select(cols).collect()}
+    udf = {
+        r["conv_id"]: r
+        for r in with_disease_groups(df, REF_MAPPINGS, literal_threshold=0).select(cols).collect()
+    }
+    assert lit == udf
+
+
+def test_disease_grouping_13k_mapping_plan_has_no_literal(spark):
+    """The reference's REAL 13,211-row mapping table
+    (mappings/latest_mappings.tsv) through with_disease_groups: above the
+    gate the plan must carry no create_map literal (round-2 verdict #1 —
+    a ~26k-entry literal expression tree is a plan/codegen scale-killer),
+    and a known mapping still resolves."""
+    mappings = []
+    with open("/root/reference/mappings/latest_mappings.tsv") as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            f = line.rstrip("\n").split("\t")
+            mappings.append((f[0].lower(), f[1], f[2] if len(f) > 2 else None))
+    assert len(mappings) > 10_000
+
+    df = spark.createDataFrame(
+        [("t1", 0, _ms(["11p partial monosomy syndrome", "zzz"]))],
+        "conv_id string, turn_idx int, ms array<struct<pos:int,mention_norm:string>>",
+    )
+    out_df = with_disease_groups(df, mappings)
+    plan = out_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ArrowEvalPython" in plan or "arrow" in plan.lower()
+    # the literal path would inline every mapping key into the plan
+    assert "11p partial monosomy syndrome" not in plan
+    assert len(plan) < 200_000
+
+    out = out_df.collect()[0]
+    groups = {(g["disease_from_source"], g["disease_mapped_id"]) for g in out["disease_groups"]}
+    assert ("11p partial monosomy syndrome", "MONDO_0008681") in groups
+    assert ("zzz", None) in groups
+    assert out["has_mapping"]
+
+
 def test_evidence_product_cardinality_and_routing(spark):
     """One record: 2 origin groups x 3 disease groups x 2 consequences
     -> 12 evidence rows; somatic rows route to eva_somatic
