@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -61,9 +62,36 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _codes(s: str) -> np.ndarray:
+    """Unicode codepoints as int32 (matches Python/JVM per-char equality)."""
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+
+
+def _lev_batch(m_codes: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Levenshtein(m, label) for EVERY row of `mat` (k labels x L chars) at
+    once: the classic DP with the j-loop kept sequential (the insertion term
+    depends on cur[j-1]) but every numpy op vectorized over the k labels —
+    ~50-100x over per-pair Python DP, no native lib needed."""
+    n = m_codes.shape[0]
+    k, L = mat.shape
+    prev = np.broadcast_to(np.arange(L + 1, dtype=np.int32), (k, L + 1)).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, n + 1):
+        cur[:, 0] = i
+        neq = mat != m_codes[i - 1]
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + neq[:, j - 1],
+            )
+        prev, cur = cur, prev
+    return prev[:, L]
+
+
 def make_fuzzy_udf(term_rows: list[dict]):
     """term_rows: dicts with term_id, label, in_target_ontology, is_obsolete,
-    replaced_by. The length-band index is built once per executor process
+    replaced_by. The length-band index (numpy codepoint matrix per label
+    length + parallel metadata lists) is built once per executor process
     (closure capture; Arrow moves only the mention batches)."""
     by_len: dict[int, list] = defaultdict(list)
     for t in term_rows:
@@ -79,28 +107,41 @@ def make_fuzzy_udf(term_rows: list[dict]):
                 t.get("replaced_by"),
             )
             by_len[len(label_norm)].append(entry)
+    index: dict[int, tuple[np.ndarray, list]] = {}
+    for length, entries in by_len.items():
+        if length == 0:
+            continue
+        mat = np.empty((len(entries), length), dtype=np.int32)
+        for r, e in enumerate(entries):
+            mat[r] = _codes(e[1])
+        index[length] = (mat, entries)
 
     @F.pandas_udf(CANDIDATE)
     def score(mentions: pd.Series) -> pd.Series:
         out = []
         for m in mentions:
             max_lev = min(FUZZY_MAX_LEV, max(0, len(m) - FUZZY_MIN_LEN_SLACK))
+            m_codes = _codes(m)
             hits = []
             for length in range(len(m) - max_lev, len(m) + max_lev + 1):
-                for term_id, label, in_ont, cur, obs, rep in by_len.get(length, ()):
-                    lev = _levenshtein(m, label)
-                    if lev <= max_lev:
-                        hits.append(
-                            {
-                                "term_id": term_id,
-                                "label_norm": label,
-                                "in_ontology": in_ont,
-                                "is_current": cur,
-                                "is_obsolete": obs,
-                                "replaced_by": rep,
-                                "lev": lev,
-                            }
-                        )
+                band = index.get(length)
+                if band is None:
+                    continue
+                mat, entries = band
+                levs = _lev_batch(m_codes, mat)
+                for r in np.nonzero(levs <= max_lev)[0]:
+                    term_id, label, in_ont, cur, obs, rep = entries[r]
+                    hits.append(
+                        {
+                            "term_id": term_id,
+                            "label_norm": label,
+                            "in_ontology": in_ont,
+                            "is_current": cur,
+                            "is_obsolete": obs,
+                            "replaced_by": rep,
+                            "lev": int(levs[r]),
+                        }
+                    )
             out.append(hits)
         return pd.Series(out)
 

@@ -274,8 +274,11 @@ def link_replacement(unresolved: DataFrame, candidates: DataFrame, terms: DataFr
 # Above this many dictionary terms, the JVM broadcast length-band join is
 # replaced by the Arrow length-band-indexed pandas UDF (fuzzy_udf.py), whose
 # per-mention work is O(band), not O(|dictionary|). The two paths are
-# row-for-row identical (tests/test_fuzzy_udf.py asserts it).
-ARROW_FUZZY_TERM_THRESHOLD = 50_000
+# row-for-row identical (tests/test_fuzzy_udf.py asserts it). Threshold set
+# from measurement (BENCH.md round-3 JVM-vs-Arrow table, numpy-vectorized
+# scorer): crossover lies between 1k and 10k terms; Arrow wins 1.8x at 10k
+# and 3.1x at 100k, JVM wins 1.6x at 1k.
+ARROW_FUZZY_TERM_THRESHOLD = 10_000
 
 
 def link_cascade(

@@ -227,3 +227,26 @@ def distinct_mentions(mentions: DataFrame) -> DataFrame:
         F.count("*").alias("occurrences"),
         F.count_distinct("conv_id").alias("n_conversations"),
     )
+
+
+def distinct_mentions_with_stop_counts(
+    mentions_all: DataFrame, stoplist: frozenset[str] = STOPLIST
+) -> DataFrame:
+    """A1 over the UNFILTERED occurrence view (stoplisted rows retained so
+    the metrics pass can sum their occurrences from the same table), with
+    the hot-key guard: stoplisted mentions are by construction the most
+    frequent strings in the corpus, and routing them through the
+    count_distinct(conv, turn) expansion would put one corpus-sized key on
+    one reducer. Nulling the distinct-counted columns for stoplisted rows
+    collapses each hot key to one null per partition map-side (count_distinct
+    ignores nulls), so the skew never reaches the shuffle; their freq /
+    n_conversations read 0, which nothing consumes — metrics only need their
+    `occurrences` sum, and linking filters them out entirely."""
+    not_stop = ~F.col("mention_norm").isin(*sorted(stoplist))
+    return mentions_all.groupBy("mention_norm").agg(
+        F.count_distinct(
+            F.when(not_stop, F.struct("conv_id", "turn_idx"))
+        ).alias("freq"),
+        F.count("*").alias("occurrences"),
+        F.count_distinct(F.when(not_stop, F.col("conv_id"))).alias("n_conversations"),
+    )

@@ -15,6 +15,8 @@ At 100 TB the brute-force path is a broadcast-nested-loop over a pruned
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -95,6 +97,75 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8,
         )
         sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
     return v.select("vid", sig.alias("bucket"))
+
+
+def nd_weight(table: int, plane: int, dim: int) -> float:
+    """Deterministic hyperplane weight in [-1, 1) for the near-dup LSH
+    tables, computed DRIVER-side (md5 of 'nd:<table>:<plane>:<dim>') and
+    shipped as a literal — the python twin of :func:`hyperplane_weight`,
+    namespaced so the near-dup tables are independent of the top-k planes."""
+    h = int(hashlib.md5(f"nd:{table}:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return (h % 2000 - 1000) / 1000.0
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup counterpart of
+    lsh_topk. OR-amplified random-hyperplane LSH: `n_tables` independent
+    signature tables of `n_planes` bits; a pair is a CANDIDATE when it
+    shares a bucket in ANY table (equi-join on (table, bucket) after an
+    in-row explode), then candidates are scored once and kept at
+    cosine >= threshold.
+
+    Scale shape: no cartesian anywhere — candidate generation is an
+    equi-join on (table, bucket); each vector emits exactly `n_tables`
+    bucket rows; pair dedup happens BEFORE the (broadcast-free, co-keyed)
+    vector fetch joins. Amplification math: P(candidate) =
+    1-(1-(1-theta/pi)^n_planes)^n_tables — e.g. ~0.42 at cos 0.4 with
+    8x6, rising steeply with cosine (the S-curve knob, like the MinHash
+    band config)."""
+    v = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    tables = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            w = F.array(*[F.lit(nd_weight(t, p, d)) for d in range(dim)])
+            proj = F.aggregate(
+                F.zip_with(F.col("e"), w, lambda x, wd: x * wd),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+    buckets = v.select("vid", F.explode(F.array(*tables)).alias("tb")).select(
+        "vid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    )
+    cands = (
+        buckets.alias("a")
+        .join(buckets.alias("c"), ["t", "b"])
+        .filter(F.col("a.vid") < F.col("c.vid"))
+        .select(F.col("a.vid").alias("vec_a"), F.col("c.vid").alias("vec_b"))
+        .distinct()
+    )
+    a = v.select(F.col("vid").alias("vec_a"), F.col("e").alias("ea"))
+    c = v.select(F.col("vid").alias("vec_b"), F.col("e").alias("eb"))
+    scored = cands.join(a, "vec_a").join(c, "vec_b").select(
+        "vec_a",
+        "vec_b",
+        (_dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= threshold).select(
+        "vec_a", "vec_b", F.round("cos", 4).alias("cos_r")
+    )
 
 
 def lsh_topk(embeddings: DataFrame, query_filter, k: int = 5, n_planes: int = 8,

@@ -736,6 +736,44 @@ FROM (
   FROM pairs
 ) WHERE rank <= 5"""
 
+    # Embedding-cosine near-dup pairs: OR-amplified hyperplane LSH with the
+    # SAME driver-side numeric weights (similarity.nd_weight) inlined, so
+    # buckets agree bit-for-bit; candidates scored once, cos >= 0.4.
+    from .operators.similarity import nd_weight
+
+    nd_tables, nd_planes, nd_dim, nd_thr = 8, 6, 64, 0.4
+    table_rows = []
+    for t in range(nd_tables):
+        bucket_terms = []
+        for p in range(nd_planes):
+            proj = " + ".join(
+                f"e[{d + 1}] * ({nd_weight(t, p, d)!r})" for d in range(nd_dim)
+            )
+            bucket_terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+        table_rows.append(
+            f"SELECT vec_id, {t} AS t, ({' + '.join(bucket_terms)})::BIGINT AS b FROM v"
+        )
+    nd_buckets = "\n  UNION ALL\n".join(table_rows)
+    q["dedup_embedding_pairs"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+buckets AS (
+{nd_buckets}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM buckets a JOIN buckets c ON a.t = c.t AND a.b = c.b AND a.vec_id < c.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         list_sum(list_transform(list_zip(va.e, vb.e), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(va.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(vb.e, x -> x * x)))) AS cos
+  FROM cands
+  JOIN v va ON va.vec_id = vec_a
+  JOIN v vb ON vb.vec_id = vec_b
+)
+SELECT vec_a, vec_b, round(cos, 4) AS cos_r FROM scored WHERE cos >= {nd_thr}"""
+
     # Event-stream tumbling 1-hour aggregation (batch twin of the
     # Structured Streaming job in streaming/ingest.py).
     q["events_hourly"] = """

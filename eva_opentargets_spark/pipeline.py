@@ -28,6 +28,7 @@ from .operators.curation import curation_table, merge_mapping_databases
 from .operators.linking import link_cascade, unpersist_cascade
 from .operators.mentions import (
     distinct_mentions,
+    distinct_mentions_with_stop_counts,
     extract_turn_mentions,
     occurrences,
     turn_filter,
@@ -43,7 +44,7 @@ class PipelineResult:
     extracted: DataFrame  # one row per turn: (conv_id, turn_idx, valid, ms)
     mentions_all: DataFrame  # includes stop-listed (for counters)
     mentions: DataFrame
-    distinct_all: DataFrame  # A1 pre-agg incl. stop-listed rows (persisted)
+    distinct_all: DataFrame  # lazy A1 view incl. stop-listed rows (S6 spill)
     distinct: DataFrame
     links: DataFrame
     candidates: DataFrame
@@ -53,9 +54,8 @@ class PipelineResult:
 
     def unpersist(self) -> None:
         """Release the executor-memory footprint of a finished run (the
-        extracted cache + the dictionary-scale distinct/cascade persists)."""
+        extracted cache + the dictionary-scale cascade persists)."""
         self.extracted.unpersist()
-        self.distinct_all.unpersist()
         unpersist_cascade(self.links)
 
 
@@ -90,23 +90,28 @@ def run_pipeline(
 
     mentions_all = occurrences(extracted, drop_stoplisted=False)
     mentions = mentions_all.filter(~F.col("mention_norm").isin(*sorted(STOPLIST)))
-    # A1 pre-agg over ALL mentions (stoplisted rows retained, filtered
-    # after the groupBy — identical groups, since the stoplist predicate is
-    # on the group key). distinct_all is dictionary-scale and persisted: it
-    # is the ONE corpus scan that runs the extraction UDF on the metrics
-    # path — the cascade and every mention-grain counter derive from it.
-    # With spill_dir set, the persist becomes an explicit storage
-    # materialization instead (S6 parse/process phase boundary, reference
-    # trait_mapping/main.py:78-97) — the right choice at 100 TB, where the
-    # boundary must survive executor loss.
-    distinct_all = distinct_mentions(mentions_all)
+    # A1 pre-agg. distinct_all (stoplisted rows retained, hot keys guarded —
+    # see distinct_mentions_with_stop_counts) is a LAZY side view for
+    # callers that want the spilled phase table; the cascade probes
+    # `distinct` directly so the triples hot path stays on the PRUNED
+    # aggregation — the cascade only consumes mention_norm, and Catalyst
+    # collapses the groupBy to a bare distinct-keys aggregate with no
+    # count_distinct expansion. (Round-3 measured: persisting the full
+    # 3-aggregate distinct_all inside the cascade chain forced the x3
+    # Expand over every occurrence into the flagship path — 10,300 ->
+    # 6,400 turns/sec. Metrics pay one extra dictionary-scale job instead;
+    # see compute_metrics.)
+    distinct_all = distinct_mentions_with_stop_counts(mentions_all)
     if spill_dir:
+        # S6 phase boundary (reference trait_mapping/main.py:78-97): the
+        # parse phase materializes the distinct-mention table to storage and
+        # the process phase (cascade) reads the file back.
         from .plans.checkpoint import spill_reload
 
         distinct_all = spill_reload(distinct_all, f"{spill_dir}/distinct_mentions")
+        distinct = distinct_all.filter(~F.col("mention_norm").isin(*sorted(STOPLIST)))
     else:
-        distinct_all = distinct_all.persist()
-    distinct = distinct_all.filter(~F.col("mention_norm").isin(*sorted(STOPLIST)))
+        distinct = distinct_mentions(mentions)
     links, candidates, unresolved = link_cascade(distinct, terms, xrefs)
     # shuffle-free triple path: per-turn uniqueness established inside the
     # extraction row (array_distinct on the same ms column), not via a
@@ -138,55 +143,73 @@ def compute_metrics(
 ) -> DataFrame:
     """A3 — the Report-counter analog (cmat/output_generation/report.py:17-77).
 
-    Scan discipline (round-3 fix — the round-2 standalone path re-ran the
-    extraction UDF for `result.distinct.count()`): the extraction UDF runs in
-    exactly ONE corpus scan — the one that materializes the persisted
-    `distinct_all` pre-aggregation — and every mention-grain counter derives
-    from that dictionary-scale table:
-      * mentions_total / mentions_stoplisted: sums of its `occurrences`
-      * mentions_distinct: its non-stoplisted row count
-      * triples_emitted: sum(freq x link-fanout) over non-stoplisted rows —
-        freq counts distinct (conv, turn) pairs per mention, so the sum IS
-        the per-turn-distinct triple count, no per-turn pass needed
-    The only other corpus scan (turn counters) prunes the `ms` column away,
-    so it never evaluates the UDF. Link-grain counters come from the
-    persisted cascade tables.
+    Scan discipline: ONE aggregation job over the per-turn extraction table
+    yields every corpus-grain counter — turns, exclusions, mention totals,
+    stoplist hits AND the triple count (per-turn distinct links resolved via
+    an in-row fanout lookup in the same pass). The fanout lookup is
+    SIZE-GATED like every other dictionary literal (MAPPING_LITERAL_
+    THRESHOLD): above the gate, triples_emitted switches to the join form
+    sum(freq x fanout) over the distinct-mention table — freq counts
+    distinct (conv, turn) pairs per mention, so that sum IS the
+    per-turn-distinct triple count. mentions_distinct comes from the
+    cascade's own persisted mentions frame (round-2 verdict #2: counting
+    result.distinct re-ran the extraction); unmapped derives from persisted
+    cascade tables. Standalone cost: the cascade scan + this one agg; in the
+    wave runner both read the cached extraction — one corpus scan total.
     """
+    from .config import MAPPING_LITERAL_THRESHOLD
+
     stop = sorted(STOPLIST)
-    trow = result.extracted.agg(
+    link_fanout = {
+        r["mention_norm"]: r["n"]
+        for r in result.links.groupBy("mention_norm").agg(F.count("*").alias("n")).collect()
+    }
+    join_form = len(link_fanout) > MAPPING_LITERAL_THRESHOLD
+    if link_fanout and not join_form:
+        fanout_map = F.create_map(
+            *[F.lit(x) for kv in sorted(link_fanout.items()) for x in kv]
+        )
+        per_turn_names = F.array_distinct(F.transform("ms", lambda m: m["mention_norm"]))
+        triple_contrib = F.aggregate(
+            F.filter(per_turn_names, lambda n: ~n.isin(*stop)),
+            F.lit(0).cast("long"),
+            lambda acc, n: acc + F.coalesce(fanout_map[n], F.lit(0)).cast("long"),
+        )
+    else:
+        triple_contrib = F.lit(0).cast("long")
+    row = result.extracted.agg(
         F.count("*").alias("turns_total"),
         F.sum((~F.col("valid")).cast("long")).alias("turns_excluded"),
+        F.sum(F.size("ms")).alias("mentions_total"),
+        F.sum(
+            F.size(F.filter("ms", lambda m: m["mention_norm"].isin(*stop)))
+        ).alias("mentions_stoplisted"),
+        F.sum(triple_contrib).alias("triples_emitted"),
     ).first()
-    fanout = result.links.groupBy("mention_norm").agg(F.count("*").alias("__n"))
-    is_stop = F.col("mention_norm").isin(*stop)
-    zero = F.lit(0).cast("long")
-    mrow = (
-        result.distinct_all.join(F.broadcast(fanout), "mention_norm", "left")
-        .agg(
-            F.sum("occurrences").alias("mentions_total"),
-            F.sum(F.when(is_stop, F.col("occurrences")).otherwise(zero)).alias(
-                "mentions_stoplisted"
-            ),
-            F.sum(
-                F.when(~is_stop, F.col("freq") * F.coalesce(F.col("__n"), zero)).otherwise(zero)
-            ).alias("triples_emitted"),
-            F.sum((~is_stop).cast("long")).alias("mentions_distinct"),
+    triples_emitted = row["triples_emitted"] or 0
+    if join_form:
+        fanout_df = result.links.groupBy("mention_norm").agg(F.count("*").alias("__n"))
+        triples_emitted = (
+            result.distinct.join(F.broadcast(fanout_df), "mention_norm", "inner")
+            .agg(F.sum(F.col("freq") * F.col("__n")))
+            .first()[0]
+            or 0
         )
-        .first()
-    )
     counters = [
-        ("turns_total", trow["turns_total"]),
-        ("turns_excluded", trow["turns_excluded"] or 0),
-        ("mentions_total", mrow["mentions_total"] or 0),
-        ("mentions_stoplisted", mrow["mentions_stoplisted"] or 0),
-        ("mentions_valid", (mrow["mentions_total"] or 0) - (mrow["mentions_stoplisted"] or 0)),
-        ("triples_emitted", mrow["triples_emitted"] or 0),
+        ("turns_total", row["turns_total"]),
+        ("turns_excluded", row["turns_excluded"] or 0),
+        ("mentions_total", row["mentions_total"] or 0),
+        ("mentions_stoplisted", row["mentions_stoplisted"] or 0),
+        ("mentions_valid", (row["mentions_total"] or 0) - (row["mentions_stoplisted"] or 0)),
+        ("triples_emitted", triples_emitted),
     ]
     if not corpus_only:
         # link-grain counters are NOT additive across disjoint corpus waves
         # (the same mention can resolve in several waves) — wave callers pass
         # corpus_only=True and compute these once from the global cascade.
-        counters.insert(5, ("mentions_distinct", mrow["mentions_distinct"] or 0))
+        persisted = getattr(result.links, "_cascade_persisted", None)
+        dm = persisted[0] if persisted else result.distinct
+        counters.insert(5, ("mentions_distinct", dm.count()))
         counters.insert(6, ("unmapped", result.unresolved.count()))
         by_type = {
             r["match_type"]: r["n"]

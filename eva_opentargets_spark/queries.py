@@ -419,6 +419,14 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, lambda vid: vid < 10, k=5, n_planes=8, dim=64)
 
 
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via OR-amplified hyperplane LSH
+    (8 tables x 6 planes), scored once per candidate, cos >= 0.4 (the
+    near-dup band of this corpus's cosine distribution)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dups(emb, threshold=0.4, dim=64)
+
+
 def events_hourly(spark, sf_dir):
     return events.hourly_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
@@ -487,6 +495,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "events_hourly": events_hourly,

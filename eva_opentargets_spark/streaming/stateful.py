@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator: gap-based sessionization over an
+event stream via applyInPandasWithState.
+
+This is the streaming twin of operators/events.sessionize (which the DuckDB
+oracle verifies in batch): per user, events accumulate into a session while
+gaps stay under `gap_seconds`; a longer gap CLOSES the session, which is
+emitted downstream (append semantics), while the still-open tail session
+lives in the group state and survives micro-batch boundaries AND query
+restarts (state is checkpointed). This is the pattern the engine uses for
+any custom stateful operator Spark lacks natively — the state struct is
+explicit, bounded (one open session per key), and typed.
+
+Scale shape: state is keyed by user_id (hash-partitioned by the engine);
+per-key state is O(1) (five scalars), so total state is O(active users),
+not O(events). A production deployment adds an event-time timeout
+(GroupStateTimeout.EventTimeTimeout + watermark) to also FLUSH idle open
+sessions; kept NoTimeout here so availableNow drains are deterministic for
+the tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+SESSION_SCHEMA = (
+    "user_id long, session_start_epoch long, n_events long, "
+    "start_epoch long, end_epoch long"
+)
+
+# (open-session accumulator) start_epoch, last_epoch, n_events
+STATE_SCHEMA = "start_epoch long, last_epoch long, n_events long"
+
+
+def make_sessionizer(gap_seconds: int = 1800):
+    """Returns the applyInPandasWithState function: merges each batch's
+    (sorted) events into the open-session accumulator, emits every session
+    CLOSED by a gap, keeps the open tail in state."""
+
+    def sessionize_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed: list[tuple] = []
+        events = pd.concat(list(pdfs), ignore_index=True)
+        # stable (ts, event_id) order — same composite ordering as the
+        # batch operator, so equal timestamps resolve identically
+        events = events.sort_values(["ts", "event_id"])
+        for ts in events["ts"]:
+            epoch = int(ts.timestamp())
+            if last is not None and epoch - last > gap_seconds:
+                closed.append((user_id, start, n, start, last))
+                start, n = epoch, 0
+            if start is None:
+                start = epoch
+            last = epoch
+            n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_epoch", "n_events", "start_epoch", "end_epoch"],
+            )
+
+    return sessionize_group
+
+
+def sessionize_stream(spark, input_path: str, gap_seconds: int = 1800):
+    """readStream(parquet events) -> per-user stateful sessionization.
+    Returns the unstarted streaming DataFrame of CLOSED sessions."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_path)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        make_sessionizer(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

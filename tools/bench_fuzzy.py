@@ -2,9 +2,12 @@
 
 Round-2 verdict #9: exercise the Arrow fuzzy path at its design scale and
 prove the ARROW_FUZZY_TERM_THRESHOLD auto-flip (linking.py) wins there.
-Generates synthetic ontology dictionaries of 1k/10k/50k/100k terms (pseudo-
-word labels, deterministic), scores a fixed 2,000-mention distinct-mention
-table through BOTH paths, and prints a wall-time table (min of N runs).
+Generates synthetic ontology dictionaries of 1k/10k/50k/100k terms with a
+REALISTIC label-length spread (4-30 chars — length-band pruning is the whole
+point of both fast paths; uniform lengths would degenerate both to full
+scans), scores a fixed 1,000-mention distinct-mention table (8 partitions,
+so both paths parallelize the way the production cascade does) through BOTH
+paths, and prints a wall-time table (min of N runs).
 
 Run ALONE on the host (shared-box discipline, see BENCH.md):
     python tools/bench_fuzzy.py [--sizes 1000,10000,50000,100000] [--runs 2]
@@ -20,12 +23,13 @@ sys.path.insert(0, ".")
 
 
 def pseudo_word(i: int, salt: str = "") -> str:
-    """Deterministic pronounceable pseudo-word (no RNG, stable across runs)."""
+    """Deterministic pronounceable pseudo-word (no RNG, stable across runs),
+    2-8 syllables -> 4-16 chars per word."""
     cons = "bcdfghklmnprstvz"
     vow = "aeiou"
     x = (i * 2654435761 + hash(salt) % 1000003) & 0xFFFFFFFF
     out = []
-    for _ in range(3 + x % 4):
+    for _ in range(2 + x % 7):
         out.append(cons[x % len(cons)])
         x //= len(cons)
         out.append(vow[x % len(vow)])
@@ -34,6 +38,8 @@ def pseudo_word(i: int, salt: str = "") -> str:
 
 
 def build_terms(spark, n: int):
+    # every 5th term a bigram label -> lengths 4-16 (unigrams) / 9-33
+    # (bigrams): the band index prunes most of the dictionary per mention
     rows = [
         (f"T:{i}", pseudo_word(i) + (" " + pseudo_word(i, "b") if i % 5 == 0 else ""),
          True, i % 97 == 0, None)
@@ -46,9 +52,10 @@ def build_terms(spark, n: int):
     )
 
 
-def build_mentions(spark, n: int = 2000, vocab: int = 100_000):
+def build_mentions(spark, n: int = 1000, vocab: int = 100_000):
     # mentions are dictionary words with 0-2 character edits -> realistic
-    # fuzzy hit rates at every dictionary size
+    # fuzzy hit rates at every dictionary size; 8 partitions like the
+    # production distinct-mention table (n_link_partitions)
     rows = []
     for i in range(n):
         w = pseudo_word((i * 7919) % vocab)
@@ -57,7 +64,7 @@ def build_mentions(spark, n: int = 2000, vocab: int = 100_000):
         elif i % 3 == 2:
             w = w + "x"  # insertion
         rows.append((w,))
-    return spark.createDataFrame(rows, "mention_norm string").coalesce(1)
+    return spark.createDataFrame(rows, "mention_norm string").repartition(8)
 
 
 def materialize(df) -> float:
@@ -80,8 +87,16 @@ def main():
     mentions = build_mentions(spark).persist()
     mentions.count()
 
-    print(f"{'terms':>8} | {'jvm sec':>8} | {'arrow sec':>9} | winner")
-    print("-" * 46)
+    # correctness cross-check once, at the smallest size (the pytest twin
+    # covers semantics; this guards the benchmark's own generators)
+    t0 = build_terms(spark, 1000).persist()
+    nj = fuzzy_candidates(mentions, t0).count()
+    na = fuzzy_candidates_arrow(mentions, t0).count()
+    assert nj == na, (nj, na)
+    t0.unpersist()
+    print(f"paths agree at 1k terms: {nj} candidates", flush=True)
+
+    print(f"{'terms':>8} | {'jvm sec':>8} | {'arrow sec':>9} | winner", flush=True)
     results = []
     for n in (int(s) for s in args.sizes.split(",")):
         terms = build_terms(spark, n).persist()
@@ -90,26 +105,22 @@ def main():
         arrow = min(
             materialize(fuzzy_candidates_arrow(mentions, terms)) for _ in range(args.runs)
         )
-        # sanity: the two paths agree on candidate count
-        nj = fuzzy_candidates(mentions, terms).count()
-        na = fuzzy_candidates_arrow(mentions, terms).count()
-        assert nj == na, (n, nj, na)
         winner = "arrow" if arrow < jvm else "jvm"
-        print(f"{n:>8} | {jvm:>8.2f} | {arrow:>9.2f} | {winner}  ({nj} candidates)")
-        results.append((n, round(jvm, 2), round(arrow, 2), winner, nj))
+        print(f"{n:>8} | {jvm:>8.2f} | {arrow:>9.2f} | {winner}", flush=True)
+        results.append((n, round(jvm, 2), round(arrow, 2), winner))
         terms.unpersist()
     spark.stop()
 
     lines = [
         "",
-        f"## JVM-vs-Arrow fuzzy scoring (2,000 distinct mentions, min of {args.runs}, local[8])",
+        f"## JVM-vs-Arrow fuzzy scoring (1,000 distinct mentions, min of {args.runs}, local[8])",
         "",
-        "| dictionary terms | JVM broadcast-band join (s) | Arrow banded UDF (s) | winner | candidates |",
-        "|---|---|---|---|---|",
-    ] + [f"| {n} | {j} | {a} | {w} | {c} |" for n, j, a, w, c in results] + [""]
+        "| dictionary terms | JVM broadcast-band join (s) | Arrow banded UDF (s) | winner |",
+        "|---|---|---|---|",
+    ] + [f"| {n} | {j} | {a} | {w} |" for n, j, a, w in results] + [""]
     with open("BENCH.md", "a") as fh:
         fh.write("\n".join(lines))
-    print("appended to BENCH.md")
+    print("appended to BENCH.md", flush=True)
 
 
 if __name__ == "__main__":
