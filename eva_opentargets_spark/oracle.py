@@ -565,9 +565,30 @@ def data_queries() -> dict[str, str]:
     """Training-data pipeline oracles over documents/embeddings/events."""
     q: dict[str, str] = {}
 
-    q["text_stats"] = """
+    # bpe_tokens: Spark splits on alnum/other class boundaries + spaces and
+    # drops empties — equivalently, the count of maximal [a-z0-9]+ or
+    # [^a-z0-9 ]+ runs (RE2 has no lookarounds, so the oracle counts runs
+    # instead of boundaries; the two formulations are provably identical).
+    # lang: argmax of marker-word profile fractions, alphabetically-first
+    # tie-break (the iterative strict-> of functions/text.py:lang_id).
+    def _lang_frac(markers: list[str]) -> str:
+        marks = ", ".join(f"'{m}'" for m in markers)
+        return (
+            "(len(list_filter(string_split(lower(text), ' '), t -> t IN (" + marks + "))) * 1.0"
+            " / greatest(len(string_split(lower(text), ' ')), 1))"
+        )
+
+    from .functions.text import LANG_MARKERS
+
+    sde = _lang_frac(LANG_MARKERS["de"])
+    sen = _lang_frac(LANG_MARKERS["en"])
+    ses = _lang_frac(LANG_MARKERS["es"])
+    q["text_stats"] = f"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]+')) AS bpe_tokens,
+       CASE WHEN {ses} > greatest({sde}, {sen}) THEN 'es'
+            WHEN {sen} > {sde} THEN 'en' ELSE 'de' END AS lang,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        round(0.5 * least(1.0, len(string_split(lower(text), ' ')) / 20.0)
            + 0.5 * (1 - len(list_filter(string_split(lower(text), ' '),

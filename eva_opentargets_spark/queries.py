@@ -373,10 +373,14 @@ def events_most_severe(spark, sf_dir):
 
 
 def text_stats(spark, sf_dir):
+    from .functions.text import bpe_ish_token_count, lang_id
+
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        lang_id(F.col("text")).alias("lang"),
         fingerprint(F.col("text")).alias("fingerprint"),
         F.round(quality_score(F.col("text")), 4).alias("quality"),
     )
