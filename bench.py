@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_simhash_pairs",  # round 2
     "ann_cosine_topk",
     "ann_lsh_topk",  # round 2: the ANN scale path
+    "ann_ivf_topk",  # round 3: inverted-file ANN
+    "dedup_embedding_pairs",  # round 3: embedding-cosine near-dup LSH
     "events_sessionize",
     "tpch_q1_pricing",
 ]

@@ -99,6 +99,101 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8,
     return v.select("vid", sig.alias("bucket"))
 
 
+def ivf_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: the first `n_cells` vectors (vec_id < n_cells)
+    are the centroids — deterministic, data-derived, no iterative k-means
+    (a production build would Lloyd-iterate; the INDEX STRUCTURE — cell
+    assignment, inverted lists, probe-limited search — is what matters
+    architecturally). Returns (vid, cell) with cell = argmax-cosine
+    centroid, centroid-id ascending tie-break (W5 determinism discipline).
+
+    Scale shape: centroids are a broadcast dimension; assignment is one
+    broadcast join + windowless max_by-style reduction per vector."""
+    v = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    cents = F.broadcast(
+        v.filter(F.col("vid") < n_cells).select(
+            F.col("vid").alias("cell"), F.col("e").alias("ce")
+        )
+    )
+    scored = v.join(cents).select(
+        "vid",
+        "cell",
+        (_dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce")))).alias("ccos"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_filter,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their `n_probe` nearest cells
+    and score only vectors assigned to those cells — the inverted-file
+    counterpart of lsh_topk (the task's 'IVF or LSH-bucketed variant').
+
+    Scale shape: candidate generation is an equi-join on cell id against
+    the (bucketed) assignment table; per-query work is
+    O(n_probe/n_cells x corpus) instead of O(corpus)."""
+    v = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    cells = ivf_cells(embeddings, n_cells, id_col, vec_col)
+    cents = F.broadcast(
+        v.filter(F.col("vid") < n_cells).select(
+            F.col("vid").alias("cell"), F.col("e").alias("ce")
+        )
+    )
+    q = v.filter(query_filter(F.col("vid")))
+    qprobe_scored = q.join(cents).select(
+        F.col("vid").alias("query_id"),
+        F.col("e").alias("qe"),
+        "cell",
+        (_dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce")))).alias("ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    probes = (
+        qprobe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qe", "cell")
+    )
+    cands = v.join(cells, "vid").select(
+        F.col("vid").alias("neighbor_id"), F.col("e").alias("ce"), "cell"
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(cands, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias("cos"),
+        )
+    )  # no dedup needed: each neighbor lives in exactly ONE cell
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_r"))
+    )
+
+
 def nd_weight(table: int, plane: int, dim: int) -> float:
     """Deterministic hyperplane weight in [-1, 1) for the near-dup LSH
     tables, computed DRIVER-side (md5 of 'nd:<table>:<plane>:<dim>') and

@@ -757,6 +757,51 @@ FROM (
   FROM pairs
 ) WHERE rank <= 5"""
 
+    # IVF ANN: centroids = vec_id < 16; assignment = argmax-cosine centroid
+    # (centroid-id tie-break); queries probe their 4 best cells; candidates
+    # equi-join on cell; top-5 by (cos desc, neighbor asc).
+    q["ann_ivf_topk"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < 16),
+assign0 AS (
+  SELECT v.vec_id AS vid, c.cell,
+         list_sum(list_transform(list_zip(v.e, c.ce), p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.ce, x -> x * x)))) AS ccos
+  FROM v, cents c
+),
+cells AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell,
+           row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cell ASC) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vid AS query_id, cell FROM (
+    SELECT vid, cell,
+           row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cell ASC) AS rn
+    FROM assign0 WHERE vid < 10
+  ) WHERE rn <= 4
+),
+pairs AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos
+  FROM probes p
+  JOIN cells a ON a.cell = p.cell
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN v c ON c.vec_id = a.vid
+  WHERE a.vid <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 5"""
+
     # Embedding-cosine near-dup pairs: OR-amplified hyperplane LSH with the
     # SAME driver-side numeric weights (similarity.nd_weight) inlined, so
     # buckets agree bit-for-bit; candidates scored once, cos >= 0.4.

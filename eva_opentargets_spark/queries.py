@@ -423,6 +423,14 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, lambda vid: vid < 10, k=5, n_planes=8, dim=64)
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF inverted-file ANN: deterministic coarse quantizer (first 16
+    vectors), queries probe their 4 nearest cells; the other scale path
+    next to hyperplane LSH."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, lambda vid: vid < 10, k=5, n_cells=16, n_probe=4)
+
+
 def dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs via OR-amplified hyperplane LSH
     (8 tables x 6 planes), scored once per candidate, cos >= 0.4 (the
@@ -502,6 +510,7 @@ QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "tpch_q1_pricing": tpch_q1_pricing,
