@@ -71,3 +71,19 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text — exact-dedup key (content-defined, engine-portable)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def rolling_fingerprint(col: Column, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style): the minimum
+    md5 over all character k-grams. Robust to content reordering at the
+    document level (any shared k-gram window can supply the minimum), the
+    way shingle-min fingerprints behave; md5 keeps it engine-portable
+    (DuckDB twin in the text_stats oracle). All JVM-side: sequence +
+    transform + array_min, no UDF."""
+    n_grams = F.greatest(F.length(col) - (k - 1), F.lit(1))
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(col.substr(i, F.lit(k))),
+        )
+    )

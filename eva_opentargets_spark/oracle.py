@@ -590,6 +590,8 @@ SELECT doc_id,
        CASE WHEN {ses} > greatest({sde}, {sen}) THEN 'es'
             WHEN {sen} > {sde} THEN 'en' ELSE 'de' END AS lang,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+                               i -> md5(substr(text, i, 8)))) AS winnow_fp,
        round(0.5 * least(1.0, len(string_split(lower(text), ' ')) / 20.0)
            + 0.5 * (1 - len(list_filter(string_split(lower(text), ' '),
                                         t -> t IN ('the', 'a', 'of', 'and', 'is')))

@@ -373,7 +373,7 @@ def events_most_severe(spark, sf_dir):
 
 
 def text_stats(spark, sf_dir):
-    from .functions.text import bpe_ish_token_count, lang_id
+    from .functions.text import bpe_ish_token_count, lang_id, rolling_fingerprint
 
     d = _docs(spark, sf_dir)
     return d.select(
@@ -382,6 +382,7 @@ def text_stats(spark, sf_dir):
         bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
         lang_id(F.col("text")).alias("lang"),
         fingerprint(F.col("text")).alias("fingerprint"),
+        rolling_fingerprint(F.col("text")).alias("winnow_fp"),
         F.round(quality_score(F.col("text")), 4).alias("quality"),
     )
 

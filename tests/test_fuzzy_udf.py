@@ -30,3 +30,28 @@ def test_arrow_levenshtein_matches_spark(spark):
     )
     for r in df.collect():
         assert _levenshtein(r.a, r.b) == r.lev
+
+
+def test_lev_batch_property():
+    """Property check: the numpy band-vectorized DP equals the scalar DP on
+    arbitrary lowercase strings (hypothesis)."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+
+    from eva_opentargets_spark.operators.fuzzy_udf import _codes, _lev_batch, _levenshtein
+
+    word = st.text(alphabet="abcde ", min_size=1, max_size=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(m=word, labels=st.lists(word, min_size=1, max_size=8))
+    def check(m, labels):
+        by_len = {}
+        for lab in labels:
+            by_len.setdefault(len(lab), []).append(lab)
+        for L, labs in by_len.items():
+            mat = np.stack([_codes(x) for x in labs])
+            got = list(_lev_batch(_codes(m), mat))
+            want = [_levenshtein(m, x) for x in labs]
+            assert got == want, (m, labs, got, want)
+
+    check()
