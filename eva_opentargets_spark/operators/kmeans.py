@@ -1,0 +1,113 @@
+"""Driver-orchestrated Lloyd k-means over an embedding column — the
+iterative-algorithm pattern (same shape as the xref BFS loop: a bounded
+driver loop over dictionary-scale state, corpus-scale work per round as one
+shuffle-light job).
+
+Used as the production-quality IVF coarse quantizer (similarity.ivf_cells
+uses first-K seeding for oracle determinism; this module refines those same
+seeds). Each iteration:
+  assignment: broadcast the K centroids, per-vector argmin squared-L2
+              (one narrow pass, W5 tie-break on centroid id)
+  update:     groupBy(cell) with one SUM per dimension (dim scalar
+              aggregates) — partial (map-side) aggregation makes the
+              shuffle carry k x n_partitions x dim doubles, never vectors;
+              a posexplode would shuffle dim x N rows and a collect_list
+              would buffer whole cells in memory.
+
+Centroid state lives on the driver (K x dim floats — tiny); convergence is
+measured by max centroid shift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sq_dist(a, centroid: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, cell): argmin squared-L2 over the broadcast centroid list,
+    lowest centroid id on ties — one narrow pass, no shuffle."""
+    v = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    dists = F.array(*[_sq_dist(F.col("e"), c) for c in centroids])
+    # argmin with lowest-index tie-break: array_position finds the FIRST
+    # occurrence of the minimum
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return v.select("vid", "e", cell.alias("cell"))
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 16,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], int]:
+    """Lloyd iterations until max centroid shift < tol or max_iters.
+    Seeds = the first k vectors by id (deterministic, same seeding as
+    similarity.ivf_cells). Returns (centroids, iterations_run).
+
+    Per iteration: ONE job — assignment is in-row column math against
+    broadcast centroids; the update is a single groupBy(cell) with `dim`
+    scalar SUMs (map-side partial aggregation, shuffle of
+    k x n_partitions x dim doubles)."""
+    v = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    seed_rows = v.orderBy("vid").limit(k).collect()
+    centroids = [list(r["e"]) for r in seed_rows]
+    dim = len(centroids[0])
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        assigned = assign_cells(embeddings, centroids, id_col, vec_col)
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                *[F.sum(F.element_at("e", d + 1)).alias(f"s{d}") for d in range(dim)],
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty cells keep their centroid
+        for r in rows:
+            new_centroids[r["cell"]] = [r[f"s{d}"] / r["n"] for d in range(dim)]
+        shift = max(
+            abs(a - b) for nc, oc in zip(new_centroids, centroids) for a, b in zip(nc, oc)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return centroids, iters
+
+
+def inertia(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of squared distances to the assigned centroid (the quantity
+    Lloyd iterations are guaranteed to not increase)."""
+    assigned = assign_cells(embeddings, centroids, id_col, vec_col)
+    dists = F.array(*[_sq_dist(F.col("e"), c) for c in centroids])
+    return (
+        assigned.select(F.element_at(dists, F.col("cell") + 1).alias("d"))
+        .agg(F.sum("d"))
+        .first()[0]
+    )

@@ -424,6 +424,23 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, lambda vid: vid < 10, k=5, n_planes=8, dim=64)
 
 
+def ann_kmeans_cells(spark, sf_dir):
+    """Iterative Lloyd k-means (driver loop, 3 rounds) -> per-cell vector
+    counts. No oracle_sql entry: iterative algorithms are the documented
+    non-SQL-expressible class (the driver records a rows-only check);
+    determinism + inertia monotonicity are pinned by tests/test_kmeans.py."""
+    from .operators.kmeans import assign_cells, kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, _ = kmeans(emb, k=4, max_iters=3)
+    return (
+        assign_cells(emb, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .select("cell", "n_vectors")
+    )
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF inverted-file ANN: deterministic coarse quantizer (first 16
     vectors), queries probe their 4 nearest cells; the other scale path
@@ -512,6 +529,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_kmeans_cells": ann_kmeans_cells,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "tpch_q1_pricing": tpch_q1_pricing,

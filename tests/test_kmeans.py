@@ -1,0 +1,49 @@
+"""Driver-orchestrated Lloyd k-means: determinism, monotone inertia, ties."""
+
+from eva_opentargets_spark.operators.kmeans import assign_cells, inertia, kmeans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_kmeans_reduces_inertia_and_is_deterministic(spark):
+    emb = _emb(spark).cache()
+    seeds = [list(r["embedding"]) for r in
+             emb.selectExpr("vec_id", "cast(embedding as array<double>) embedding")
+                .orderBy("vec_id").limit(4).collect()]
+    base = inertia(emb, seeds)
+
+    c1, it1 = kmeans(emb, k=4, max_iters=5)
+    c2, it2 = kmeans(emb, k=4, max_iters=5)
+    assert (c1, it1) == (c2, it2)  # fully deterministic
+    assert len(c1) == 4 and len(c1[0]) == 64
+    assert inertia(emb, c1) <= base  # Lloyd never increases inertia
+
+    # one more iteration never increases inertia either
+    c3, _ = kmeans(emb, k=4, max_iters=6)
+    assert inertia(emb, c3) <= inertia(emb, c1) + 1e-9
+    emb.unpersist()
+
+
+def test_assign_cells_tie_break_first_centroid(spark):
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    # two identical centroids -> argmin ties -> FIRST index wins
+    out = assign_cells(df, [[0.0, 0.0], [0.0, 0.0], [1.0, 0.0]]).collect()[0]
+    assert out["cell"] == 2  # exact match beats ties
+    out2 = assign_cells(df, [[0.5, 0.0], [0.5, 0.0]]).collect()[0]
+    assert out2["cell"] == 0
+
+
+def test_kmeans_converges_on_separated_clusters(spark):
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 3) * 0.01, 0.0]))
+        rows.append((100 + i, [-10.0 - (i % 3) * 0.01, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, iters = kmeans(df, k=2, max_iters=10, tol=1e-9)
+    xs = sorted(c[0] for c in cents)
+    assert abs(xs[0] + 10.01) < 0.02 and abs(xs[1] - 10.01) < 0.02
+    assert iters <= 4  # separable data converges fast
