@@ -128,7 +128,9 @@ def _regression_guard(sf: str, cpus: str, timings: dict) -> list[str]:
     flagged = [
         q for q, sec in timings.items() if q in prior and sec > REGRESSION_FACTOR * prior[q]
     ]
-    best[key] = {q: min(sec, prior.get(q, sec)) for q, sec in timings.items()}
+    # merge, don't replace: a partial run (or a renamed HEADLINE entry) must
+    # not erase recorded minima for queries it didn't time
+    best[key] = {**prior, **{q: min(sec, prior.get(q, sec)) for q, sec in timings.items()}}
     try:
         with open(BEST_PATH, "w") as fh:
             json.dump(best, fh, indent=1, sort_keys=True)
@@ -151,7 +153,10 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
         for name in HEADLINE:
             sec = round(_materialize(QUERIES[name](spark, sf_dir)), 3)
             timings[name] = min(sec, timings.get(name, sec))
-    flag = flagship_turns_per_sec(spark, sf_dir)
+    # the flagship gets the same min-of-N treatment as every suite query
+    # (round-3 verdict #9: a single contended sample needed manual
+    # adjudication between sessions)
+    flag = flagship_turns_per_sec(spark, sf_dir, runs=repeats)
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

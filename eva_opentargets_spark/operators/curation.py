@@ -51,10 +51,16 @@ def dedupe_surface_variants(candidates: DataFrame) -> DataFrame:
     lexicographically-first label) surface variant represents the term —
     synonym-tier fan-out must not consume top-N candidate slots or make the
     packed cell's label nondeterministic (link_fuzzy applies the same rule
-    to accepted links)."""
-    w = Window.partitionBy("mention_norm", "term_id").orderBy(
-        F.col("lev").asc(), F.col("label_norm").asc()
-    )
+    to accepted links).
+
+    Same column-presence guard as rank_candidates: a candidates frame
+    without lev/label_norm (which rank_candidates explicitly supports) has
+    no surface variants to collapse — ordering on the columns that ARE
+    present keeps the row_number deterministic."""
+    order = [F.col(c).asc() for c in ("lev", "label_norm") if c in candidates.columns]
+    if not order:
+        return candidates.dropDuplicates(["mention_norm", "term_id"])
+    w = Window.partitionBy("mention_norm", "term_id").orderBy(*order)
     return (
         candidates.withColumn("__sv", F.row_number().over(w))
         .filter(F.col("__sv") == 1)

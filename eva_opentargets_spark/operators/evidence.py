@@ -347,6 +347,11 @@ def ot_evidence_json(records: DataFrame) -> DataFrame:
     def non_empty(arr: Column) -> Column:
         return F.when(F.size(arr) > 0, arr)
 
+    def ns(col: Column) -> Column:
+        # empty-string scalars are falsy to the reference's `if v` filter
+        # and must be stripped exactly like NULLs, not kept as ""
+        return F.nullif(col, F.lit(""))
+
     is_somatic = F.col("allele_origins") == F.array(F.lit("somatic"))
     valid_sigs = F.filter(
         normalize_significance(F.col("significance_raw")),
@@ -363,27 +368,27 @@ def ot_evidence_json(records: DataFrame) -> DataFrame:
         non_empty(F.col("mode_of_inheritance")).alias("allelicRequirements"),
         non_empty(valid_sigs).alias("clinicalSignificances"),
         non_empty(F.col("cohort_phenotypes")).alias("cohortPhenotypes"),
-        F.col("review_status").alias("confidence"),
+        ns(F.col("review_status")).alias("confidence"),
         F.when(is_somatic, "eva_somatic").otherwise("eva").alias("datasourceId"),
         F.when(is_somatic, "somatic_mutation")
         .otherwise("genetic_association")
         .alias("datatypeId"),
-        F.col("disease_name").alias("diseaseFromSource"),
-        F.col("disease_source_id").alias("diseaseFromSourceId"),
-        F.element_at(F.split("disease_mapped_efo_id", "/"), -1).alias(
+        ns(F.col("disease_name")).alias("diseaseFromSource"),
+        ns(F.col("disease_source_id")).alias("diseaseFromSourceId"),
+        ns(F.element_at(F.split("disease_mapped_efo_id", "/"), -1)).alias(
             "diseaseFromSourceMappedId"
         ),
         non_empty(F.array_sort(F.array_distinct("pubmed_refs"))).alias("literature"),
         F.nullif(format_creation_date(F.col("created_date")), F.lit("")).alias("releaseDate"),
-        F.col("accession").alias("studyId"),
-        F.col("target_gene_id").alias("targetFromSourceId"),
-        F.col("vcv_id").alias("variantFromSourceId"),
-        F.col("so_accession").alias("variantFunctionalConsequenceId"),
-        F.col("preferred_current_hgvs").alias("variantHgvsId"),
+        ns(F.col("accession")).alias("studyId"),
+        ns(F.col("target_gene_id")).alias("targetFromSourceId"),
+        ns(F.col("vcv_id")).alias("variantFromSourceId"),
+        ns(F.col("so_accession")).alias("variantFunctionalConsequenceId"),
+        ns(F.col("preferred_current_hgvs")).alias("variantHgvsId"),
         F.when(coords_ok, F.concat_ws("_", "chr", "vcf_pos", "vcf_ref", "vcf_alt")).alias(
             "variantId"
         ),
-        F.col("rs_id").alias("variantRsId"),
+        ns(F.col("rs_id")).alias("variantRsId"),
     )
     return records.select(
         F.to_json(payload, {"ignoreNullFields": "true"}).alias("evidence")

@@ -695,15 +695,25 @@ sim AS (
     )
     q["dedup_simhash"] = simhash_core + "SELECT doc_id, simhash FROM sim"
 
-    # Hamming near-dups blocked on the top 16 bits (equi-join, no cartesian).
+    # Hamming near-dups via pigeonhole blocking (max_hamming+1 = 4 chunks of
+    # 8 bits; a <=3-bit-distant pair must agree exactly on >=1 chunk), the
+    # identical scheme to dedup.hamming_near_dups: candidates from an
+    # equi-join on (chunk, chunk_value), deduped, scored once.
     q["dedup_simhash_pairs"] = (
         simhash_core
         + """
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-FROM sim a JOIN sim b
-  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+, chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (8 * c)) & 255 AS ckey
+  FROM sim, (SELECT unnest(range(4)) AS c) cs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3"""
     )
 
     # Brute-force cosine top-k: queries are vec_id < 10, k = 5.
@@ -841,6 +851,63 @@ scored AS (
   JOIN v vb ON vb.vec_id = vec_b
 )
 SELECT vec_a, vec_b, round(cos, 4) AS cos_r FROM scored WHERE cos >= {nd_thr}"""
+
+    # Lloyd k-means, unrolled (round-3 verdict #1): the Spark query runs a
+    # driver loop with k=4, max_iters=3 and DETERMINISTIC parts throughout —
+    # seeds are the first k vectors by id, assignment is argmin squared-L2
+    # with a lowest-centroid-id tie-break, update is the per-cell
+    # per-dimension mean with empty cells keeping their centroid — so the
+    # whole iteration is SQL-expressible as max_iters unrolled CTE layers
+    # (assignment = row_number over the cross join with the k-row centroid
+    # relation; update = parallel-unnest per-dimension SUM/COUNT re-listed in
+    # dimension order). Final layer = one more assignment + per-cell counts,
+    # exactly what queries.ann_kmeans_cells returns.
+    km_k, km_iters = 4, 3
+    km_dist = (
+        "list_sum(list_transform(list_zip(v.e, c.ce),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+    def _km_assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vid, e, cell FROM (
+    SELECT v.vid, v.e, c.cell,
+           row_number() OVER (PARTITION BY v.vid
+                              ORDER BY {km_dist} ASC, c.cell ASC) AS rn
+    FROM v v CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def _km_update(name: str, assigned: str, prev_cents: str) -> str:
+        # mean = SUM/COUNT (matches the engine's F.sum(element_at)/count
+        # update); LEFT JOIN keeps the previous centroid for empty cells
+        return f"""{name} AS (
+  SELECT p.cell, coalesce(u.me, p.ce) AS ce
+  FROM {prev_cents} p LEFT JOIN (
+    SELECT cell, list(m ORDER BY d) AS me FROM (
+      SELECT cell, d, sum(x) / count(*) AS m
+      FROM (SELECT cell, unnest(e) AS x,
+                   CAST(unnest(range(len(e))) AS INT) AS d FROM {assigned})
+      GROUP BY cell, d
+    ) GROUP BY cell
+  ) u USING (cell)
+)"""
+
+    km_ctes = [
+        "v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"c0 AS (SELECT vid AS cell, e AS ce FROM v WHERE vid < {km_k})",
+    ]
+    for i in range(1, km_iters + 1):
+        km_ctes.append(_km_assign(f"a{i}", f"c{i - 1}"))
+        km_ctes.append(_km_update(f"c{i}", f"a{i}", f"c{i - 1}"))
+    km_ctes.append(_km_assign("afinal", f"c{km_iters}"))
+    q["ann_kmeans_cells"] = (
+        "WITH "
+        + ",\n".join(km_ctes)
+        + """
+SELECT cell::INT AS cell, count(*)::BIGINT AS n_vectors
+FROM afinal GROUP BY cell"""
+    )
 
     # Event-stream tumbling 1-hour aggregation (batch twin of the
     # Structured Streaming job in streaming/ingest.py).

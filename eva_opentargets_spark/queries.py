@@ -426,9 +426,11 @@ def ann_lsh_topk(spark, sf_dir):
 
 def ann_kmeans_cells(spark, sf_dir):
     """Iterative Lloyd k-means (driver loop, 3 rounds) -> per-cell vector
-    counts. No oracle_sql entry: iterative algorithms are the documented
-    non-SQL-expressible class (the driver records a rows-only check);
-    determinism + inertia monotonicity are pinned by tests/test_kmeans.py."""
+    counts. Because every part of the iteration is deterministic (first-k
+    seeding, fixed 3 rounds, argmin tie-breaks), the DuckDB oracle unrolls
+    the loop into 3 CTE layers (oracle.py ann_kmeans_cells) — this query IS
+    independently verified, on top of the determinism/monotone-inertia
+    invariants in tests/test_kmeans.py."""
     from .operators.kmeans import assign_cells, kmeans
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

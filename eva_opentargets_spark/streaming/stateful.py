@@ -54,8 +54,12 @@ def make_sessionizer(gap_seconds: int = 1800):
         # stable (ts, event_id) order — same composite ordering as the
         # batch operator, so equal timestamps resolve identically
         events = events.sort_values(["ts", "event_id"])
-        for ts in events["ts"]:
-            epoch = int(ts.timestamp())
+        # `epoch` is computed JVM-side (unix_timestamp, session-timezone
+        # aware) before the state function: interpreting the Arrow-delivered
+        # naive timestamp here would silently assume UTC and shift every
+        # emitted epoch whenever spark.sql.session.timeZone isn't UTC
+        for epoch in events["epoch"]:
+            epoch = int(epoch)
             if last is not None and epoch - last > gap_seconds:
                 closed.append((user_id, start, n, start, last))
                 start, n = epoch, 0
@@ -76,9 +80,14 @@ def make_sessionizer(gap_seconds: int = 1800):
 def sessionize_stream(spark, input_path: str, gap_seconds: int = 1800):
     """readStream(parquet events) -> per-user stateful sessionization.
     Returns the unstarted streaming DataFrame of CLOSED sessions."""
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_path)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(input_path)
+        .withColumn("epoch", F.unix_timestamp("ts"))
+    )
     return stream.groupBy("user_id").applyInPandasWithState(
         make_sessionizer(gap_seconds),
         outputStructType=SESSION_SCHEMA,

@@ -62,3 +62,27 @@ def test_simhash_near_dups(spark):
     assert vals[1] == vals[2]
     pairs = {(r.doc_a, r.doc_b) for r in dedup.hamming_near_dups(sim, max_hamming=0).collect()}
     assert (1, 2) in pairs
+
+
+def test_hamming_pigeonhole_recall_top_bits(spark):
+    """Round-3 verdict #2 regression: a pair within Hamming<=3 whose
+    differing bits all fall in the TOP 16 bits was silently dropped by the
+    old single-block (simhash >> 16) scheme; the pigeonhole blocking
+    (4 chunks of 8 bits) must find it — the pair agrees on both low chunks."""
+    a = 1 << 31
+    b = (1 << 31) | (1 << 30) | (1 << 29)  # hamming 2, top bits only
+    sim = spark.createDataFrame([(1, a), (2, b), (3, 0)], "doc_id int, simhash long")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.hamming_near_dups(sim).collect()}
+    assert pairs[(1, 2)] == 2
+    # (1,3)/(2,3) differ by 1/3 bits -> also legitimately within max_hamming
+    assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 3
+
+
+def test_hamming_pigeonhole_no_false_pairs(spark):
+    """Pairs beyond max_hamming share chunks (e.g. all-zero chunks) but must
+    be filtered by the post-join Hamming score, exactly once per pair."""
+    sim = spark.createDataFrame(
+        [(1, 0), (2, 0b11110000)], "doc_id int, simhash long"
+    )  # hamming 4 > 3, but chunks 1..3 all agree (zero)
+    out = dedup.hamming_near_dups(sim).collect()
+    assert out == []

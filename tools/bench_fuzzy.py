@@ -27,7 +27,13 @@ def pseudo_word(i: int, salt: str = "") -> str:
     2-8 syllables -> 4-16 chars per word."""
     cons = "bcdfghklmnprstvz"
     vow = "aeiou"
-    x = (i * 2654435761 + hash(salt) % 1000003) & 0xFFFFFFFF
+    # stable digest, NOT hash(): str.__hash__ is randomized per process
+    # (PYTHONHASHSEED), which would make "deterministic" dictionaries drift
+    # across runs and the JVM-vs-Arrow crossover unreproducible
+    import hashlib
+
+    salt_n = int.from_bytes(hashlib.md5(salt.encode()).digest()[:4], "little")
+    x = (i * 2654435761 + salt_n % 1000003) & 0xFFFFFFFF
     out = []
     for _ in range(2 + x % 7):
         out.append(cons[x % len(cons)])
