@@ -337,6 +337,12 @@ def event_severity_sql() -> str:
 PREVIOUS_MAPPINGS: list[tuple[str, str, str]] = [
     ("spark", "http://www.ebi.ac.uk/efo/EFO_9001", "legacy spark term"),
     ("batch", "http://www.ebi.ac.uk/efo/EFO_9002", "legacy batch term"),
+    # curation-sheet decoration coverage ("dup" is the corpus's unresolved
+    # mention): one previously-used mapping to the OBSOLETE EFO:0008
+    # (exercises the replacement chain -> EFO:0009) and one to a term
+    # missing from the dictionary (exercises the NOT_CONTAINED status)
+    ("dup", "http://www.ebi.ac.uk/efo/EFO_0008", "slow"),
+    ("dup", "http://www.ebi.ac.uk/efo/EFO_9003", "vanished term"),
 ]
 
 

@@ -234,12 +234,17 @@ SELECT counter, value FROM (
   UNION ALL SELECT 'linked_xref', count(DISTINCT mention_norm)::BIGINT FROM xref_links
   UNION ALL SELECT 'linked_replacement', count(DISTINCT mention_norm)::BIGINT FROM repl_links
 )""",
-        # W2-W4 + F11/F12 — the curation sheet: surface variants deduped per
-        # (mention, term) keeping the (lev, label) minimum, then the W1 total
-        # order, top-50 cap, '|'-packed cells joined best-first
-        # (create_table_for_manual_curation.py:49-57,96-107)
-        "kg_curation": p
-        + """
+        # W2-W4 + F11/F12 + round-4 decoration — the curation sheet: surface
+        # variants deduped per (mention, term) keeping the (lev, label)
+        # minimum, then the W1 total order, top-50 cap, '|'-packed cells
+        # joined best-first, PLUS the reference's sheet decoration
+        # (create_table_for_manual_curation.py:13-41,49-57,96-107): one row
+        # per previously-used mapping, exact-mapping cell, replacement cell
+        # (<=1 extra obsolete hop), 'NT expansion' notes from the record
+        # model's repeat-expansion turns. Uses record_prefix (not kg_prefix)
+        # because the notes column needs the per-turn record attributes.
+        "kg_curation": record_prefix()
+        + f"""
 , cand_un AS (
   SELECT c.* FROM cands c JOIN un4 USING (mention_norm)
 ),
@@ -252,7 +257,7 @@ cands_dd AS (
   ) WHERE sv = 1
 ),
 ranked AS (
-  SELECT mention_norm,
+  SELECT mention_norm, label_norm,
          term_id || '|' || label_norm || '|' || confidence || '|' ||
          CASE WHEN in_ontology AND is_current THEN 'EFO_CURRENT'
               WHEN in_ontology AND NOT is_current THEN 'EFO_OBSOLETE'
@@ -269,10 +274,79 @@ ranked AS (
 packed AS (
   SELECT mention_norm, array_to_string(list(cell ORDER BY rank), ';') AS candidates_packed
   FROM ranked WHERE rank <= 50 GROUP BY mention_norm
+),
+exact_m AS (
+  SELECT mention_norm, arg_min(cell, rank) AS exact_mapping
+  FROM ranked WHERE rank <= 50 AND label_norm = mention_norm
+  GROUP BY mention_norm
+),
+nt_m AS (
+  SELECT DISTINCT t.mention_norm
+  FROM tm t JOIN recs r USING (conv_id, turn_idx)
+  WHERE r.valid AND r.has_measure AND r.is_repeat_expansion
+),
+prevm AS (
+  SELECT mention_norm,
+         replace(list_extract(string_split(iri, '/'), -1), '_', ':') AS prev_term,
+         lower(label) AS prev_label
+  FROM {prev}
+),
+tstat AS (
+  SELECT term_id, lower(label) AS t_label, in_target_ontology, is_obsolete,
+         replaced_by
+  FROM terms
+),
+pj AS (
+  SELECT pm.mention_norm, pm.prev_term, pm.prev_label,
+         p.term_id AS p_id, p.in_target_ontology AS p_in,
+         p.is_obsolete AS p_obs, p.replaced_by AS p_rep,
+         r1.term_id AS r1_id, r1.t_label AS r1_label,
+         r1.in_target_ontology AS r1_in, r1.is_obsolete AS r1_obs,
+         r1.replaced_by AS r1_rep,
+         r2.term_id AS r2_id, r2.t_label AS r2_label,
+         r2.in_target_ontology AS r2_in, r2.is_obsolete AS r2_obs
+  FROM prevm pm
+  LEFT JOIN tstat p ON p.term_id = pm.prev_term
+  LEFT JOIN tstat r1 ON r1.term_id = p.replaced_by
+  LEFT JOIN tstat r2 ON r2.term_id = r1.replaced_by
+),
+prev_cells AS (
+  SELECT mention_norm,
+    prev_term || '|' || prev_label || '|NOT_SPECIFIED|previously-used|' ||
+      CASE WHEN p_id IS NULL THEN 'NOT_CONTAINED'
+           WHEN p_in AND NOT p_obs THEN 'EFO_CURRENT'
+           WHEN p_in THEN 'EFO_OBSOLETE' ELSE 'NOT_CONTAINED' END
+      AS previous_mapping,
+    CASE WHEN p_rep IS NULL THEN ''
+         WHEN NOT (CASE WHEN r1_id IS NULL THEN FALSE
+                        WHEN r1_in AND r1_obs THEN TRUE ELSE FALSE END)
+           THEN p_rep || '|' || coalesce(r1_label, '')
+                || '|NOT_SPECIFIED|replacement|'
+                || CASE WHEN r1_id IS NULL THEN 'NOT_CONTAINED'
+                        WHEN r1_in AND NOT r1_obs THEN 'EFO_CURRENT'
+                        WHEN r1_in THEN 'EFO_OBSOLETE'
+                        ELSE 'NOT_CONTAINED' END
+         WHEN r1_rep IS NULL THEN ''
+         ELSE r1_rep || '|' || coalesce(r2_label, '')
+              || '|NOT_SPECIFIED|replacement|'
+              || CASE WHEN r2_id IS NULL THEN 'NOT_CONTAINED'
+                      WHEN r2_in AND NOT r2_obs THEN 'EFO_CURRENT'
+                      WHEN r2_in THEN 'EFO_OBSOLETE'
+                      ELSE 'NOT_CONTAINED' END
+    END AS replacement_mapping
+  FROM pj
 )
 SELECT u.mention_norm, u.freq,
+       CASE WHEN n.mention_norm IS NOT NULL THEN 'NT expansion' ELSE '' END AS notes,
+       coalesce(pc.previous_mapping, '') AS previous_mapping,
+       coalesce(e.exact_mapping, '') AS exact_mapping,
+       coalesce(pc.replacement_mapping, '') AS replacement_mapping,
        coalesce(p.candidates_packed, '') AS candidates_packed
-FROM un4 u LEFT JOIN packed p USING (mention_norm)""",
+FROM un4 u
+LEFT JOIN packed p USING (mention_norm)
+LEFT JOIN exact_m e USING (mention_norm)
+LEFT JOIN nt_m n USING (mention_norm)
+LEFT JOIN prev_cells pc USING (mention_norm)""",
         "kg_annotated": p
         + """
 , per_turn AS (

@@ -111,16 +111,46 @@ def kg_metrics(spark, sf_dir):
 
 
 def kg_curation(spark, sf_dir):
-    """W2-W4 + F11/F12 — the manual-curation sheet end-to-end: one row per
-    unresolved mention with its frequency and up to 50 best-first packed
-    candidate cells 'term|label|confidence|status'
-    (bin/trait_mapping/create_table_for_manual_curation.py:49-57,96-107).
-    The array cell column is ';'-packed so the value-hash compare is
-    portable."""
+    """W2-W4 + F11/F12 + the round-4 decoration — the manual-curation sheet
+    end-to-end: one row per (unresolved mention x previously-used mapping)
+    with frequency, 'NT expansion' notes (mentions co-occurring with
+    repeat-expansion variants, output.py:51-53), previous / exact /
+    replacement mapping cells (create_table_for_manual_curation.py:13-41)
+    and up to 50 best-first packed candidate cells
+    'term|label|confidence|status' (:49-57,96-107), ordered by the
+    reference's (notes, freq) descending (:103). The array cell column is
+    ';'-packed so the value-hash compare is portable."""
+    from .operators.curation import curation_table
+    from .operators.records import with_record_attrs
+    from .sources.dictionary import demo_previous_mappings
+
     res = _pipeline(spark, sf_dir)
-    return res.curation.select(
+    # NT-expansion association from the SAME extraction pass the pipeline
+    # made: mentions appearing in valid measured turns whose variant is a
+    # repeat expansion (trait.associated_with_nt_expansion analog)
+    nt_mentions = (
+        with_record_attrs(res.extracted)
+        .filter(F.col("valid") & F.col("has_measure") & F.col("is_repeat_expansion"))
+        .select(F.explode("ms").alias("m"))
+        .select(F.col("m.mention_norm").alias("mention_norm"))
+        .filter(~F.col("mention_norm").isin(*sorted(STOPLIST)))
+        .distinct()
+    )
+    decorated = curation_table(
+        res.unresolved,
+        res.candidates,
+        res.distinct,
+        previous_mappings=demo_previous_mappings(spark),
+        terms=demo_terms(spark),
+        nt_mentions=nt_mentions,
+    )
+    return decorated.select(
         "mention_norm",
         "freq",
+        "notes",
+        "previous_mapping",
+        "exact_mapping",
+        "replacement_mapping",
         F.concat_ws(";", "candidates").alias("candidates_packed"),
     )
 

@@ -75,3 +75,68 @@ def test_duplicate_mapping_assertion(spark):
     )
     with pytest.raises(AssertionError):
         assert_no_duplicate_mappings(bad)
+
+
+def _decor_terms(spark):
+    rows = [
+        # (term_id, iri, ontology, label, in_target, obsolete, replaced_by)
+        ("EFO:1", "http://www.ebi.ac.uk/efo/EFO_1", "EFO", "Alive", True, False, None),
+        ("EFO:2", "http://www.ebi.ac.uk/efo/EFO_2", "EFO", "Dead", True, True, "EFO:3"),
+        ("EFO:3", "http://www.ebi.ac.uk/efo/EFO_3", "EFO", "Also Dead", True, True, "EFO:4"),
+        ("EFO:4", "http://www.ebi.ac.uk/efo/EFO_4", "EFO", "Final", True, False, None),
+        ("EFO:5", "http://www.ebi.ac.uk/efo/EFO_5", "EFO", "Dead End", True, True, None),
+    ]
+    from eva_opentargets_spark.schemas import ONTOLOGY_TERMS
+
+    return spark.createDataFrame(
+        [(t, i, o, l, None, a, b, r) for t, i, o, l, a, b, r in rows],
+        ONTOLOGY_TERMS,
+    )
+
+
+def test_previous_mapping_decoration_chain(spark):
+    """Reference create_table_for_manual_curation.py:13-34: previously-used
+    cell always emitted with the term's status; replacement follows at most
+    one extra obsolete hop (max_depth=1), and an obsolete dead end yields
+    an empty replacement cell."""
+    from eva_opentargets_spark.operators.curation import previous_mapping_cells
+    from eva_opentargets_spark.schemas import TRAIT_MAPPINGS
+
+    prev = spark.createDataFrame(
+        [
+            ("m1", "http://www.ebi.ac.uk/efo/EFO_1", "Alive"),      # current
+            ("m2", "http://www.ebi.ac.uk/efo/EFO_2", "Dead"),       # 2-hop chain
+            ("m3", "http://www.ebi.ac.uk/efo/EFO_5", "Dead End"),   # obsolete, no repl
+            ("m4", "http://www.ebi.ac.uk/efo/EFO_99", "Gone"),      # not in dict
+        ],
+        TRAIT_MAPPINGS,
+    )
+    out = {r.mention_norm: r for r in previous_mapping_cells(prev, _decor_terms(spark)).collect()}
+    assert out["m1"].previous_mapping == "EFO:1|alive|NOT_SPECIFIED|previously-used|EFO_CURRENT"
+    assert out["m1"].replacement_mapping == ""
+    # EFO:2 -> EFO:3 (obsolete, hop again) -> EFO:4 (current)
+    assert out["m2"].previous_mapping == "EFO:2|dead|NOT_SPECIFIED|previously-used|EFO_OBSOLETE"
+    assert out["m2"].replacement_mapping == "EFO:4|final|NOT_SPECIFIED|replacement|EFO_CURRENT"
+    assert out["m3"].replacement_mapping == ""  # obsolete with no replacement
+    assert out["m4"].previous_mapping == "EFO:99|gone|NOT_SPECIFIED|previously-used|NOT_CONTAINED"
+
+
+def test_curation_sheet_nt_ordering(spark, terms, xrefs):
+    """W4 decorated ordering: (notes, freq) DESCENDING — an NT-expansion
+    mention outranks a higher-frequency plain mention (reference :103)."""
+    from eva_opentargets_spark.schemas import TRAIT_MAPPINGS
+
+    dm = spark.createDataFrame(
+        [("dup", 5, 5, 2), ("zzz unknown", 50, 50, 9)],
+        "mention_norm string, freq long, occurrences long, n_conversations long",
+    )
+    links, cands, unresolved = link_cascade(dm, terms, xrefs)
+    prev = spark.createDataFrame([], TRAIT_MAPPINGS)
+    nt = spark.createDataFrame([("dup",)], "mention_norm string")
+    table = curation_table(
+        unresolved, cands, dm, previous_mappings=prev, terms=terms, nt_mentions=nt
+    )
+    rows = table.collect()
+    assert [r.mention_norm for r in rows] == ["dup", "zzz unknown"]
+    assert rows[0].notes == "NT expansion" and rows[1].notes == ""
+    assert rows[0].previous_mapping == "" and rows[0].replacement_mapping == ""
