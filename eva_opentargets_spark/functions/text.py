@@ -73,17 +73,65 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
 
-def rolling_fingerprint(col: Column, k: int = 8) -> Column:
+# Polynomial rolling-hash parameters (shared with the DuckDB twin):
+# base 257 (> any byte), Mersenne-ish prime modulus. Every intermediate
+# stays far inside int64: (h + M) * B + 255 < 2.7e11.
+ROLL_K = 8
+ROLL_B = 257
+ROLL_M = 1_000_000_007
+
+
+def _bind_once(value: Column, fn) -> Column:
+    """Evaluate `value` ONCE per row and pass it to `fn` as a bound lambda
+    variable (transform over a one-element array). Catalyst has no
+    common-subexpression elimination across higher-order-function calls, so
+    an array expression referenced N times is otherwise recomputed N times —
+    the difference between O(len) and O(k*len) work per row here."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+def rolling_fingerprint(col: Column, k: int = ROLL_K) -> Column:
     """Rolling-hash document fingerprint (winnowing-style): the minimum
-    md5 over all character k-grams. Robust to content reordering at the
-    document level (any shared k-gram window can supply the minimum), the
-    way shingle-min fingerprints behave; md5 keeps it engine-portable
-    (DuckDB twin in the text_stats oracle). All JVM-side: sequence +
-    transform + array_min, no UDF."""
-    n_grams = F.greatest(F.length(col) - (k - 1), F.lit(1))
-    return F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.md5(col.substr(i, F.lit(k))),
+    polynomial hash over all character k-grams. Robust to content
+    reordering at the document level (any shared k-gram window can supply
+    the minimum), the way shingle-min fingerprints behave.
+
+    Round-3 verdict #5: the previous md5-per-position form paid ~len(text)
+    full md5 invocations per row — the dominant per-row cost of text_stats
+    at corpus scale. This form decodes the char codes ONCE into a bound
+    array, then evaluates each window hash as an unrolled weighted sum
+    sum_j code[i+j] * B^(k-1-j) with one final % M (every term is at most
+    255*(M-1) and there are k=8 of them, so int64 never overflows — no
+    per-step mod chain needed). Measured at sf0.1/local[8] (warm session,
+    min of 4): md5-per-position 1.99 s -> 1.14 s shipped form; a
+    struct-accumulator rolling recurrence variant measured 7.45 s (per-char
+    struct allocation swamps the md5 saving) and an unbound codes
+    expression re-evaluates the decode per window term (O(k*len)), so the
+    bind-once unrolled-sum form is the one that ships. The win grows with
+    document length: this corpus's docs are short, while the md5 cost per
+    position is length-independent.
+    All JVM-side column math, no UDF; the DuckDB twin evaluates the same
+    polynomial per position, so the text_stats oracle hash-verifies."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+
+    def compute(cc: Column) -> Column:
+        length = F.size(cc)
+
+        def full_window(i: Column) -> Column:
+            total = F.lit(0).cast("long")
+            for j in range(k):
+                total = total + F.element_at(cc, i + j) * F.lit(pow(ROLL_B, k - 1 - j, ROLL_M))
+            return total % ROLL_M
+
+        wins = F.transform(F.sequence(F.lit(1), length - (k - 1)), full_window)
+        # len < k: single partial window = Horner over the whole text
+        partial = F.aggregate(
+            F.sequence(F.lit(1), F.greatest(length, F.lit(1))),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * ROLL_B + F.element_at(cc, j)) % ROLL_M,
         )
-    )
+        return F.when(length >= k, F.array_min(wins)).otherwise(partial)
+
+    # emptiness must be tested on the string itself: split('', '') yields
+    # [''] (size 1), so F.size(codes) can't see an empty document
+    return F.when(F.length(col) > 0, _bind_once(codes, compute))

@@ -657,6 +657,22 @@ def data_queries() -> dict[str, str]:
     sde = _lang_frac(LANG_MARKERS["de"])
     sen = _lang_frac(LANG_MARKERS["en"])
     ses = _lang_frac(LANG_MARKERS["es"])
+    # Polynomial rolling-hash winnowing twin: per-position direct evaluation
+    # of the SAME window hashes the engine's single-pass rolling recurrence
+    # produces (functions/text.rolling_fingerprint). Direct form: sum of
+    # ascii(char) * B^(m-1-j) mod-M weights over the (possibly partial)
+    # window — each term <= 255*(M-1) and <=8 terms, so one final % M is
+    # exact in int64.
+    from .functions.text import ROLL_B, ROLL_K, ROLL_M
+
+    pw = [pow(ROLL_B, e, ROLL_M) for e in range(ROLL_K)]
+    pw_lit = "[" + ", ".join(str(x) for x in pw) + "]"
+    w = f"substr(text, s, {ROLL_K})"
+    winnow_sql = (
+        f"(list_min(list_transform(range(1, greatest(len(text) - {ROLL_K - 1}, 1) + 1), "
+        f"s -> (list_sum(list_transform(range(1, len({w}) + 1), "
+        f"j -> ascii(substr({w}, j, 1))::BIGINT * ({pw_lit}[len({w}) - j + 1]))) % {ROLL_M}))))::BIGINT"
+    )
     q["text_stats"] = f"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
@@ -664,8 +680,7 @@ SELECT doc_id,
        CASE WHEN {ses} > greatest({sde}, {sen}) THEN 'es'
             WHEN {sen} > {sde} THEN 'en' ELSE 'de' END AS lang,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-       list_min(list_transform(range(1, greatest(len(text) - 7, 1) + 1),
-                               i -> md5(substr(text, i, 8)))) AS winnow_fp,
+       {winnow_sql} AS winnow_fp,
        round(0.5 * least(1.0, len(string_split(lower(text), ' ')) / 20.0)
            + 0.5 * (1 - len(list_filter(string_split(lower(text), ' '),
                                         t -> t IN ('the', 'a', 'of', 'and', 'is')))

@@ -70,3 +70,35 @@ def test_format_creation_date(spark):
 def test_string_to_set(spark):
     assert sorted(_one(spark, string_to_set(F.lit("{'B', 'A'}")))) == ["A", "B"]
     assert _one(spark, string_to_set(F.lit(""))) == []
+
+
+def test_rolling_fingerprint_polynomial(spark):
+    """The winnowing fingerprint equals min over windows of the polynomial
+    hash sum(code * B^(k-1-j)) % M, including the partial-window (<k chars)
+    and empty-text edges."""
+    from pyspark.sql import functions as F
+
+    from eva_opentargets_spark.functions.text import (
+        ROLL_B,
+        ROLL_K,
+        ROLL_M,
+        rolling_fingerprint,
+    )
+
+    def py_hash(s):
+        h = 0
+        for ch in s:
+            h = (h * ROLL_B + ord(ch)) % ROLL_M
+        return h
+
+    def py_winnow(s):
+        if not s:
+            return None
+        if len(s) < ROLL_K:
+            return py_hash(s)
+        return min(py_hash(s[i : i + ROLL_K]) for i in range(len(s) - ROLL_K + 1))
+
+    texts = ["hello world, this is a longer document", "tiny", "", "exactly8"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.fp for r in df.select(rolling_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert got == [py_winnow(t) for t in texts]
