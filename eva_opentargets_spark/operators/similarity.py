@@ -194,6 +194,32 @@ def ivf_topk(
     )
 
 
+def lsh_planes_for(
+    n_vectors: int, target_bucket: int = 64, min_planes: int = 6, max_planes: int = 62
+) -> int:
+    """Sizing rule for hyperplane-LSH bit-widths (round-3 verdict #3: fixed
+    bit-widths are fixture-scale constants; bucket population is
+    N / 2^bits, so candidate generation within a bucket grows
+    quadratically with N unless bits grow with log2(N)).
+
+    bits = ceil(log2(N / target_bucket)) keeps the EXPECTED bucket
+    population at ~target_bucket vectors regardless of corpus size:
+    64 vectors/bucket -> ~2k same-bucket candidate pairs per bucket per
+    table, a constant per-bucket cost. At the 10^12-vector design point
+    this yields ~34 bits (still well inside the 62-bit signature long).
+    Recall at a fixed cosine moves with bits through the AND-amplification
+    exponent — compensate by raising n_tables (OR amplification), which
+    multiplies candidate cost linearly, not quadratically. The queries in
+    queries.py pin explicit widths because their DuckDB oracles inline the
+    per-plane weights; production callers pass n_planes=None + n_vectors
+    and get this rule."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
 def nd_weight(table: int, plane: int, dim: int) -> float:
     """Deterministic hyperplane weight in [-1, 1) for the near-dup LSH
     tables, computed DRIVER-side (md5 of 'nd:<table>:<plane>:<dim>') and
@@ -207,10 +233,11 @@ def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.4,
     n_tables: int = 8,
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup counterpart of
     lsh_topk. OR-amplified random-hyperplane LSH: `n_tables` independent
@@ -225,7 +252,16 @@ def embedding_near_dups(
     vector fetch joins. Amplification math: P(candidate) =
     1-(1-(1-theta/pi)^n_planes)^n_tables — e.g. ~0.42 at cos 0.4 with
     8x6, rising steeply with cosine (the S-curve knob, like the MinHash
-    band config)."""
+    band config).
+
+    Pass n_planes=None + n_vectors (a corpus-size estimate is enough) to
+    size the bit-width by the lsh_planes_for rule — bits grow with
+    log2(N/target_bucket), bounding per-bucket population (and thus
+    per-bucket candidate pairs) at any corpus size."""
+    if n_planes is None:
+        if n_vectors is None:
+            raise ValueError("n_planes=None requires n_vectors (corpus-size estimate)")
+        n_planes = lsh_planes_for(n_vectors)
     v = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
     )
@@ -263,13 +299,19 @@ def embedding_near_dups(
     )
 
 
-def lsh_topk(embeddings: DataFrame, query_filter, k: int = 5, n_planes: int = 8,
+def lsh_topk(embeddings: DataFrame, query_filter, k: int = 5, n_planes: int | None = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None, n_vectors: int | None = None) -> DataFrame:
     """Approximate top-k: score only same-bucket pairs (equi-join on bucket).
 
     This is the ANN default at scale; cosine_topk is the small-N exactness
-    verifier (round-1 verdict #6)."""
+    verifier (round-1 verdict #6). n_planes=None + n_vectors sizes the
+    signature width by the lsh_planes_for rule (bits ~ log2(N/64)), keeping
+    per-bucket candidate counts bounded as the corpus grows."""
+    if n_planes is None:
+        if n_vectors is None:
+            raise ValueError("n_planes=None requires n_vectors (corpus-size estimate)")
+        n_planes = lsh_planes_for(n_vectors)
     v = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e"))
     sigs = lsh_signatures(embeddings, n_planes, id_col, vec_col, dim=dim)
     vs = v.join(sigs, "vid")

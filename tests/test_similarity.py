@@ -37,3 +37,24 @@ def test_lsh_finds_identical(spark):
     assert 1 in neighbors
     sigs = {r.vid: r.bucket for r in similarity.lsh_signatures(d).collect()}
     assert sigs[0] == sigs[1]
+
+
+def test_lsh_planes_sizing_rule():
+    """Round-3 verdict #3: bits grow with log2(N/target_bucket), clamped."""
+    from eva_opentargets_spark.operators.similarity import lsh_planes_for
+
+    assert lsh_planes_for(50) == 6          # <= target -> floor
+    assert lsh_planes_for(2_000) == 6       # fixture scale stays at 6
+    assert lsh_planes_for(20_000) == 9
+    assert lsh_planes_for(10**12) == 34     # design point
+    assert lsh_planes_for(10**30) == 62     # clamped to signature width
+
+
+def test_near_dups_derived_width_requires_estimate(spark):
+    import pytest as _pytest
+
+    from eva_opentargets_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.createDataFrame([(0, [1.0] * 4)], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        embedding_near_dups(emb, n_planes=None, dim=4)
