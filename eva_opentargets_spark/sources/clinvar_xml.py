@@ -281,3 +281,228 @@ def clinvar_to_transcripts(traits: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("tool"),
         F.to_timestamp("date_updated", "yyyy-MM-dd").alias("ts"),
     )
+
+
+# --- S8: annotated-XML write-back -----------------------------------------
+#
+# The reference re-serializes every RCV with injected annotation elements
+# (annotated_clinvar.py:214-258 + clinvar_dataset.py:40-60). The engine's
+# Spark shape: one task per XML shard (mapInPandas over a path list), each
+# yielding the fully serialized `<ClinVarSet>` string per record — a
+# distributed sink column; the tiny serialization/injection procedure below
+# IS the output format (byte parity with the reference's golden file
+# requires the identical minidom pretty-print + line-join steps), cited
+# per-function.
+
+PROCESSOR = "CMAT"  # the provider stamp the format defines (annotated_clinvar.py:13)
+MAX_TARGET_GENES = 3  # clinvar_to_evidence_strings.py:23
+
+ANNOTATED_XML_SCHEMA = (
+    "path string, record_idx int, accession string, clinvar_set_xml binary"
+)
+
+
+def load_trait_mappings_py(path: str) -> tuple[dict, str]:
+    """Driver-side twin of load_ontology_mapping
+    (clinvar_to_evidence_strings.py:326-349): '#ontology=' header names the
+    target ontology (default EFO), keys lowercased, per-name list in file
+    order."""
+    import re
+
+    mappings: dict[str, list[tuple[str, str]]] = {}
+    ontology = "EFO"
+    in_header = True
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip()
+            if in_header:
+                m = re.match(r"^#ontology=(.*?)$", line)
+                if m and m.group(1):
+                    ontology = m.group(1).upper()
+            if line.startswith("#") or not line:
+                continue
+            in_header = False
+            name, uri, label = line.split("\t")
+            mappings.setdefault(name.lower(), []).append((uri, label))
+    return mappings, ontology
+
+
+def load_gene_mappings_py(path: str) -> dict:
+    """Driver-side twin of process_consequence_type_file
+    (consequence_type.py:17-51): variant_id -> [(gene, so_term,
+    transcript|None)] in file order, <4-column lines and 'NA' genes
+    skipped."""
+    out: dict[str, list[tuple[str, str, str | None]]] = {}
+    with open(path) as fh:
+        for line in fh:
+            cols = line.rstrip().split("\t")
+            if len(cols) < 4 or cols[1] == "NA":
+                continue
+            out.setdefault(cols[0], []).append(
+                (cols[1], cols[3], cols[4] if len(cols) >= 5 else None)
+            )
+    return out
+
+
+def _consequences_for(measure, accession: str, gene_map: dict):
+    """get_consequence_types (clinvar_to_evidence_strings.py:266-318):
+    RCV accession first (repeat-expansion pipeline IDs), then the
+    chr:pos:ref:alt coordinate id, then preferred_current_hgvs with the
+    MAX_TARGET_GENES guard."""
+    if accession in gene_map:
+        return gene_map[accession]
+    mf = _measure_fields(measure)
+    if all(mf.get(k) for k in ("chr", "vcf_pos", "vcf_ref", "vcf_alt")):
+        coord = f"{mf['chr']}:{mf['vcf_pos']}:{mf['vcf_ref']}:{mf['vcf_alt']}"
+        if coord in gene_map:
+            return gene_map[coord]
+    hgvs = mf.get("preferred_current_hgvs")
+    if hgvs and hgvs in gene_map:
+        conseqs = gene_map[hgvs]
+        if len(conseqs) > MAX_TARGET_GENES:
+            return []
+        return conseqs
+    return []
+
+
+def _format_ontology_id(ontology_id: str) -> str:
+    """annotated_clinvar.py:233-237."""
+    if ontology_id.startswith("http"):
+        return ontology_id.split("/")[-1].replace("_", ":")
+    return ontology_id
+
+
+def _annotate_rcv(rcv, trait_map, gene_map, so_map, target_ontology) -> None:
+    """Inject the reference's annotation elements in place
+    (annotated_clinvar.py:84-95,214-258): per-consequence AttributeSet
+    blocks on the unique variant measure, per-valid-trait XRef elements
+    with Status='annotated'."""
+    acc_el = rcv.find("ClinVarAccession")
+    accession = acc_el.attrib.get("Acc") if acc_el is not None else None
+    measures = rcv.findall('./MeasureSet[@Type="Variant"]/Measure')
+    measure = measures[0] if len(measures) == 1 else None
+    if measure is not None:
+        for gene_id, so_name, transcript in _consequences_for(measure, accession, gene_map):
+            attr_set = ET.Element("AttributeSet", attrib={"providedBy": PROCESSOR})
+            attr = ET.Element("Attribute", attrib={"Type": "MolecularConsequence"})
+            attr.text = so_name.replace("_", " ")
+            elts = [
+                attr,
+                ET.Element("XRef", attrib={
+                    "ID": so_map[so_name].replace("_", ":"), "DB": "Sequence Ontology",
+                }),
+                ET.Element("XRef", attrib={"ID": gene_id, "DB": "Ensembl Gene"}),
+            ]
+            if transcript:
+                elts.append(
+                    ET.Element("XRef", attrib={"ID": transcript, "DB": "Ensembl Transcript"})
+                )
+            attr_set.extend(elts)
+            measure.append(attr_set)
+    trait_set = rcv.find("TraitSet")
+    for trait in trait_set.findall("Trait") if trait_set is not None else []:
+        names = [n.text for n in trait.findall("./Name/ElementValue") if n.text]
+        preferred = next(
+            (n.text for n in trait.findall('./Name/ElementValue[@Type="Preferred"]')), None
+        )
+        name = _preferred_or_other_valid_name(preferred, names)
+        if name is None:
+            continue
+        for ontology_id, _label in trait_map.get(name.lower(), []):
+            trait.append(
+                ET.Element("XRef", attrib={
+                    "ID": _format_ontology_id(ontology_id), "DB": target_ontology,
+                    "Status": "annotated", "providedBy": PROCESSOR,
+                })
+            )
+
+
+def _serialize_clinvar_set(rcv) -> bytes:
+    """The reference's record serialization procedure, byte for byte
+    (clinvar_record.py:50-57 + clinvar_dataset.py:54-56): minidom
+    pretty-print of the RCV, XML declaration stripped, blank lines dropped,
+    two-space re-join, wrapped in a bare <ClinVarSet> pair. This procedure
+    IS the output format — the golden comparison requires it exactly."""
+    import re
+    from xml.dom import minidom
+
+    xml_str = minidom.parseString(ET.tostring(rcv)).toprettyxml(indent="  ", encoding="utf-8")
+    if xml_str.startswith(b"<?xml"):
+        xml_str = re.sub(rb"<\?xml.*?>", b"", xml_str)
+    xml_str = b"  ".join([s for s in xml_str.strip().splitlines(True) if s.strip()])
+    xml_str += b"\n"
+    return b"<ClinVarSet>\n  " + xml_str + b"</ClinVarSet>\n"
+
+
+def release_set_header(path: str, last_processed: str) -> bytes:
+    """ReleaseSet open tag with original attributes + LastProcessed +
+    ProcessedBy (xml_parsing.py:9-28 + clinvar_dataset.py:18-19,40-45 +
+    annotated_clinvar.py:23)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    attrib = {}
+    with opener(path, "rb") as fh:
+        for _event, elem in ET.iterparse(fh, events=["start"]):
+            if elem.tag == "ReleaseSet":
+                for attr, val in elem.attrib.items():
+                    if attr == "{http://www.w3.org/2001/XMLSchema-instance}noNamespaceSchemaLocation":
+                        attrib["xmlns:xsi"] = "http://www.w3.org/2001/XMLSchema-instance"
+                        attrib["xsi:noNamespaceSchemaLocation"] = val
+                    else:
+                        attrib[attr] = val
+                break
+    attrib["LastProcessed"] = last_processed
+    attrib["ProcessedBy"] = PROCESSOR
+    header = b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n<ReleaseSet'
+    for attr, val in attrib.items():
+        header += f' {attr}="{val}"'.encode()
+    return header + b">\n"
+
+
+def annotate_clinvar_xml(
+    spark: SparkSession,
+    paths: list[str],
+    trait_mapping_tsv: str,
+    gene_mapping_tsv: str,
+    so_accessions: dict[str, str] | None = None,
+) -> DataFrame:
+    """S8 as a Spark sink column: one row per RCV with the fully annotated,
+    fully serialized `<ClinVarSet>` bytes — the distributed form of the
+    reference's annotated-XML write-back (one task per shard; dimension
+    dicts ride the task closure; record_idx preserves in-shard order so a
+    driver-side concat reproduces the reference's single-file output
+    exactly)."""
+    if so_accessions is None:
+        from .. import fixtures
+
+        so_accessions = dict(fixtures.SO_ACCESSIONS)
+    trait_map, target_ontology = load_trait_mappings_py(trait_mapping_tsv)
+    gene_map = load_gene_mappings_py(gene_mapping_tsv)
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
+
+    def annotate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = []
+                opener = gzip.open if path.endswith(".gz") else open
+                with opener(path, "rb") as fh:
+                    for _event, elem in ET.iterparse(fh):
+                        if elem.tag != "ClinVarSet":
+                            continue
+                        rcv = elem.find("ReferenceClinVarAssertion")
+                        if rcv is not None:
+                            _annotate_rcv(rcv, trait_map, gene_map, so_accessions, target_ontology)
+                            acc_el = rcv.find("ClinVarAccession")
+                            rows.append(
+                                (
+                                    path,
+                                    len(rows),
+                                    acc_el.attrib.get("Acc") if acc_el is not None else None,
+                                    _serialize_clinvar_set(rcv),
+                                )
+                            )
+                        elem.clear()
+                yield pd.DataFrame(
+                    rows, columns=["path", "record_idx", "accession", "clinvar_set_xml"]
+                )
+
+    return paths_df.mapInPandas(annotate, ANNOTATED_XML_SCHEMA)

@@ -100,3 +100,36 @@ def test_cross_dictionary_eval(spark, traits):
     tp = len(got & exp)
     p, r = tp / len(got), tp / len(exp)
     assert p >= 0.75 and r >= 0.80, (p, r)
+
+
+def test_annotated_xml_golden_parity(spark):
+    """S8 round-trip golden: the engine's annotated-XML write-back must
+    reproduce the reference's own expected_annotation_output.xml.gz byte
+    for byte (modulo the LastProcessed date, stripped with the reference
+    test's own regex — tests/output_generation/test_annotated_clinvar.py:
+    29-32)."""
+    import gzip
+    import re
+
+    from eva_opentargets_spark.sources.clinvar_xml import (
+        annotate_clinvar_xml,
+        release_set_header,
+    )
+
+    res = "/root/reference/tests/output_generation/resources"
+    input_file = f"{res}/test_annotation_input.xml.gz"
+    df = annotate_clinvar_xml(
+        spark,
+        [input_file],
+        trait_mapping_tsv=f"{res}/string_to_ontology_mappings.tsv",
+        gene_mapping_tsv=f"{res}/snp2gene_extract.tsv",
+    )
+    rows = sorted(df.collect(), key=lambda r: r.record_idx)
+    assert rows, "no records annotated"
+    actual = release_set_header(input_file, last_processed="x")
+    actual += b"".join(bytes(r.clinvar_set_xml) for r in rows)
+    actual += b"\n</ReleaseSet>"
+    expected = gzip.open(f"{res}/expected_annotation_output.xml.gz", "rb").read()
+    strip = re.compile(b'(?<=LastProcessed=")[-0-9x]+(?=")')
+    actual_s, expected_s = strip.sub(b"", actual), strip.sub(b"", expected)
+    assert actual_s == expected_s
