@@ -111,3 +111,78 @@ def inertia(
         .agg(F.sum("d"))
         .first()[0]
     )
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_filter,
+    k: int = 5,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    max_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with the Lloyd-REFINED coarse quantizer — the production
+    composition of kmeans() and the inverted-file search (similarity.
+    ivf_topk uses raw first-K seeds; this refines them first, giving
+    tighter cells and better probe recall at the same n_probe).
+
+    Plan shape: centroids are K x dim driver state (the kmeans loop's
+    output); assignment AND probe selection are in-row column math against
+    the broadcast centroid literals — the per-query probe list is an
+    array_sort over the (distance, cell) struct array, sliced to n_probe
+    and exploded, so probe ranking costs no shuffle and ties break on the
+    lowest cell id exactly like assignment. Candidate fetch is the one
+    shuffle: an equi-join on cell. Oracle: the ann_ivf_kmeans_topk DuckDB
+    twin unrolls the same iterations (oracle.py)."""
+    from pyspark.sql import Window
+
+    centroids, _ = kmeans(embeddings, k=n_cells, max_iters=max_iters,
+                          id_col=id_col, vec_col=vec_col)
+    v = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    ranked_cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(_sq_dist(F.col("e"), c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    assigned = v.select("vid", "e", ranked_cells[0]["cell"].alias("cell"))
+    probes = (
+        v.filter(query_filter(F.col("vid")))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(F.slice(ranked_cells, 1, n_probe)).alias("pc"),
+        )
+        .select("query_id", "qe", F.col("pc.cell").alias("cell"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+
+    pairs = (
+        F.broadcast(probes)
+        .join(
+            assigned.select(F.col("vid").alias("neighbor_id"), F.col("e").alias("ce"), "cell"),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", (dot / (norm(F.col("qe")) * norm(F.col("ce")))).alias("cos"))
+    )  # no pair dedup needed: each neighbor lives in exactly ONE cell
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_r"))
+    )

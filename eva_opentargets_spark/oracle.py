@@ -982,20 +982,61 @@ SELECT vec_a, vec_b, round(cos, 4) AS cos_r FROM scored WHERE cos >= {nd_thr}"""
   ) u USING (cell)
 )"""
 
-    km_ctes = [
-        "v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)",
-        f"c0 AS (SELECT vid AS cell, e AS ce FROM v WHERE vid < {km_k})",
-    ]
-    for i in range(1, km_iters + 1):
-        km_ctes.append(_km_assign(f"a{i}", f"c{i - 1}"))
-        km_ctes.append(_km_update(f"c{i}", f"a{i}", f"c{i - 1}"))
-    km_ctes.append(_km_assign("afinal", f"c{km_iters}"))
+    def _km_ctes() -> list[str]:
+        """The shared unrolled-Lloyd CTE chain: v (vectors), c0 (seeds),
+        a1/c1..a{iters}/c{iters} — final centroids live in c{km_iters}."""
+        ctes = [
+            "v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings)",
+            f"c0 AS (SELECT vid AS cell, e AS ce FROM v WHERE vid < {km_k})",
+        ]
+        for i in range(1, km_iters + 1):
+            ctes.append(_km_assign(f"a{i}", f"c{i - 1}"))
+            ctes.append(_km_update(f"c{i}", f"a{i}", f"c{i - 1}"))
+        return ctes
+
     q["ann_kmeans_cells"] = (
         "WITH "
-        + ",\n".join(km_ctes)
+        + ",\n".join(_km_ctes() + [_km_assign("afinal", f"c{km_iters}")])
         + """
 SELECT cell::INT AS cell, count(*)::BIGINT AS n_vectors
 FROM afinal GROUP BY cell"""
+    )
+
+    # IVF ANN over the Lloyd-REFINED quantizer (operators/kmeans.
+    # ivf_kmeans_topk): same unrolled centroid chain, then per-vector
+    # assignment (rn=1) and per-query n_probe-cell probing by the same
+    # (squared-L2, cell) order, candidate equi-join on cell, cosine top-5.
+    km_cos = (
+        "list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2]))"
+        " / (sqrt(list_sum(list_transform(q.e, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(c.e, x -> x * x))))"
+    )
+    q["ann_ivf_kmeans_topk"] = (
+        "WITH "
+        + ",\n".join(_km_ctes())
+        + f"""
+, ranked AS (
+  SELECT v.vid, c.cell,
+         row_number() OVER (PARTITION BY v.vid
+                            ORDER BY {km_dist} ASC, c.cell ASC) AS rn
+  FROM v v CROSS JOIN c{km_iters} c
+),
+assigned AS (SELECT vid, cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vid AS query_id, cell FROM ranked WHERE vid < 10 AND rn <= 2),
+pairs AS (
+  SELECT p.query_id, a.vid AS neighbor_id, {km_cos} AS cos
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN v q ON q.vid = p.query_id
+  JOIN v c ON c.vid = a.vid
+  WHERE a.vid <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_r
+FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= 5"""
     )
 
     # Event-stream tumbling 1-hour aggregation (batch twin of the

@@ -481,6 +481,18 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, lambda vid: vid < 10, k=5, n_cells=16, n_probe=4)
 
 
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN over the Lloyd-refined coarse quantizer: kmeans() (driver
+    loop, 3 rounds, k=4 cells) supplies the centroids; assignment + probe
+    ranking are in-row math; candidates come from one equi-join on cell.
+    Oracle: unrolled-CTE twin sharing the ann_kmeans_cells centroid
+    chain."""
+    from .operators.kmeans import ivf_kmeans_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_kmeans_topk(emb, lambda vid: vid < 10, k=5, n_cells=4, n_probe=2, max_iters=3)
+
+
 def dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs via OR-amplified hyperplane LSH
     (8 tables x 6 planes), scored once per candidate, cos >= 0.4 (the
@@ -562,6 +574,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_kmeans_cells": ann_kmeans_cells,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "tpch_q1_pricing": tpch_q1_pricing,

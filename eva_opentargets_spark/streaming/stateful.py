@@ -12,10 +12,16 @@ explicit, bounded (one open session per key), and typed.
 
 Scale shape: state is keyed by user_id (hash-partitioned by the engine);
 per-key state is O(1) (five scalars), so total state is O(active users),
-not O(events). A production deployment adds an event-time timeout
-(GroupStateTimeout.EventTimeTimeout + watermark) to also FLUSH idle open
-sessions; kept NoTimeout here so availableNow drains are deterministic for
-the tests.
+not O(events).
+
+Two timeout modes:
+  * NoTimeout (sessionize_stream) — deterministic availableNow drains;
+    idle open sessions stay in state until more events arrive.
+  * EventTimeTimeout (sessionize_stream_event_time) — the production
+    mode: a watermark bounds lateness and each key arms a timeout at
+    last_event + gap, so idle open sessions are FLUSHED by the engine
+    once the watermark passes the gap — state size stays O(concurrently
+    active users) even when users disappear forever.
 """
 
 from __future__ import annotations
@@ -38,13 +44,25 @@ SESSION_SCHEMA = (
 STATE_SCHEMA = "start_epoch long, last_epoch long, n_events long"
 
 
-def make_sessionizer(gap_seconds: int = 1800):
+def make_sessionizer(gap_seconds: int = 1800, event_time_timeout: bool = False):
     """Returns the applyInPandasWithState function: merges each batch's
     (sorted) events into the open-session accumulator, emits every session
-    CLOSED by a gap, keeps the open tail in state."""
+    CLOSED by a gap, keeps the open tail in state. With
+    `event_time_timeout`, each key arms a timeout at last_event + gap; when
+    the watermark passes it, the engine re-invokes this function with
+    state.hasTimedOut and the open session is flushed downstream."""
+
+    COLS = ["user_id", "session_start_epoch", "n_events", "start_epoch", "end_epoch"]
 
     def sessionize_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if event_time_timeout and state.hasTimedOut:
+            # watermark passed last_event + gap: the open session can never
+            # be extended by on-time data -> flush it and drop the state
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, start, n, start, last)], columns=COLS)
+            return
         if state.exists:
             start, last, n = state.get
         else:
@@ -68,11 +86,10 @@ def make_sessionizer(gap_seconds: int = 1800):
             last = epoch
             n += 1
         state.update((start, last, n))
+        if event_time_timeout and last is not None:
+            state.setTimeoutTimestamp((last + gap_seconds) * 1000)
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start_epoch", "n_events", "start_epoch", "end_epoch"],
-            )
+            yield pd.DataFrame(closed, columns=COLS)
 
     return sessionize_group
 
@@ -94,4 +111,31 @@ def sessionize_stream(spark, input_path: str, gap_seconds: int = 1800):
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_stream_event_time(
+    spark, input_path: str, gap_seconds: int = 1800, watermark: str = "30 minutes"
+):
+    """Production-mode sessionization: watermark-bounded lateness +
+    event-time timeouts flushing idle open sessions (the state-size
+    guarantee a 10^12-event stream needs — keys that go quiet forever are
+    evicted once the watermark passes their gap, instead of accumulating).
+    Returns the unstarted streaming DataFrame of closed AND flushed
+    sessions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(input_path)
+        .withWatermark("ts", watermark)
+        .withColumn("epoch", F.unix_timestamp("ts"))
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        make_sessionizer(gap_seconds, event_time_timeout=True),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -47,3 +47,31 @@ def test_kmeans_converges_on_separated_clusters(spark):
     xs = sorted(c[0] for c in cents)
     assert abs(xs[0] + 10.01) < 0.02 and abs(xs[1] - 10.01) < 0.02
     assert iters <= 4  # separable data converges fast
+
+
+def test_ivf_kmeans_topk_matches_brute_force_within_probed_cells(spark):
+    """The Lloyd-refined IVF search returns, for each query, the exact
+    cosine top-k among vectors in its probed cells (the IVF guarantee),
+    with deterministic (cos desc, neighbor asc) ordering."""
+    from pyspark.sql import functions as F
+
+    from eva_opentargets_spark.operators.kmeans import ivf_kmeans_topk
+
+    embeddings = _emb(spark)
+    out = ivf_kmeans_topk(embeddings, lambda vid: vid < 3, k=3, n_cells=4,
+                          n_probe=2, max_iters=3)
+    rows = out.collect()
+    assert rows, "no neighbors returned"
+    # ranks are 1..k per query, cos non-increasing
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i].cos_r >= rs[i + 1].cos_r for i in range(len(rs) - 1))
+    # determinism across two runs
+    again = {(r.query_id, r.neighbor_id, r.rank) for r in
+             ivf_kmeans_topk(embeddings, lambda vid: vid < 3, k=3, n_cells=4,
+                             n_probe=2, max_iters=3).collect()}
+    assert again == {(r.query_id, r.neighbor_id, r.rank) for r in rows}

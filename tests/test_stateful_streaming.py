@@ -107,3 +107,54 @@ def test_stateful_matches_batch_on_closed_sessions(spark, tmp_path):
     }
     open_tails = {max((t for t in bs if t[0] == u), key=lambda t: t[1]) for u in (1, 2, 3)}
     assert got == bs - open_tails
+
+
+def _drain_et(spark, input_path, ckpt, out_path):
+    from eva_opentargets_spark.streaming.stateful import sessionize_stream_event_time
+
+    out = sessionize_stream_event_time(spark, input_path, gap_seconds=GAP,
+                                       watermark="30 minutes")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r["user_id"], r["start_epoch"], r["end_epoch"], r["n_events"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+
+
+def test_event_time_timeout_flushes_idle_sessions(spark, tmp_path):
+    """Production mode (EventTimeTimeout + watermark): a user who goes
+    quiet FOREVER still gets their open session flushed once the watermark
+    passes last_event + gap — the state-size guarantee NoTimeout mode
+    lacks (there, user 1's tail would sit in state until new user-1 events
+    arrive, which never happens here)."""
+    data = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+
+    # user 1: two events, then silence forever
+    _write(spark, data, [
+        (1, _t(0), 1, "click", 1.0, None),
+        (2, _t(5), 1, "click", 1.0, None),
+    ])
+    got1 = _drain_et(spark, data, ckpt, sink)
+    assert got1 == set()  # open tail held in state, timeout armed at min 35
+
+    # user 2 far in the future advances the watermark past user 1's timeout
+    _write(spark, data, [(3, _t(300), 2, "view", 1.0, None)])
+    _drain_et(spark, data, ckpt, sink)
+    # timeouts fire when a batch runs AFTER the watermark advance: one more
+    # micro-batch (any new data) triggers the flush of user 1's session
+    _write(spark, data, [(4, _t(310), 2, "view", 1.0, None)])
+    got3 = _drain_et(spark, data, ckpt, sink)
+    u1 = (1, int(_t(0).timestamp()), int(_t(5).timestamp()), 2)
+    assert u1 in got3, f"idle session not flushed: {got3}"
+    # user 2's tail is still legitimately open (watermark hasn't passed it)
+    assert not any(u == 2 for (u, *_rest) in got3)
