@@ -230,3 +230,67 @@ def hamming_near_dups(sim: DataFrame, max_hamming: int = 3, bits: int = 32) -> D
     return cand.filter(ham <= max_hamming).select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    rounds: int = 3,
+    id_col: str = "doc_id",
+    until_converged: bool = False,
+) -> DataFrame:
+    """Near-dup CLUSTERS from candidate pairs: min-label propagation over
+    the pair graph — after `rounds` steps every doc carries the smallest
+    doc_id reachable within `rounds` hops, so docs of one near-dup cluster
+    (diameter <= rounds) share a cluster_id and exactly one member is the
+    canonical survivor. This is the step a dedup pipeline runs AFTER pair
+    generation: pairs -> clusters -> keep one doc per cluster.
+
+    Returns (doc_id, cluster_id, is_canonical) for EVERY doc (singletons
+    are their own canonical cluster).
+
+    Scale shape: each round is one equi-join (edges x labels, shuffled on
+    doc_id) + a partial-aggregated min — the standard bounded-rounds
+    connected-components iteration. Near-dup clusters are shallow in
+    practice (most are cliques from a shared band bucket: diameter 1-2),
+    so a small fixed `rounds` converges them; `until_converged` adds the
+    kmeans-style driver loop that stops when a round changes no label
+    (one extra count job per round), for graphs where chains matter.
+    Fixed rounds keep the query oracle-expressible (unrolled CTE twin,
+    the same discipline as ann_kmeans_cells)."""
+    nodes = docs.select(F.col(id_col).alias("doc_id"))
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    r = 0
+    while True:
+        r += 1
+        nmin = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = labels.join(nmin, "doc_id", "left").select(
+            "doc_id",
+            F.least("cluster_id", F.coalesce("nmin", "cluster_id")).alias("cluster_id"),
+        )
+        if until_converged:
+            new_labels = new_labels.persist()
+            changed = (
+                new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+                .filter(F.col("cluster_id") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            if labels.is_cached:
+                labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+            if r >= rounds:
+                break
+    return labels.withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))

@@ -736,6 +736,42 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
     )
 
+    # Near-dup clusters: the minhash pair graph + 3 unrolled rounds of
+    # min-label propagation (each round: every doc takes the min cluster_id
+    # among itself and its neighbors), then canonical = label == own id.
+    # Identical fixed-rounds semantics to dedup.near_dup_clusters(rounds=3).
+    prop_layers = []
+    for r in range(1, 4):
+        prop_layers.append(f"""l{r} AS (
+  SELECT l.doc_id,
+         least(l.cluster_id, coalesce(m.nmin, l.cluster_id)) AS cluster_id
+  FROM l{r - 1} l LEFT JOIN (
+    SELECT e.src AS doc_id, min(n.cluster_id) AS nmin
+    FROM edges e JOIN l{r - 1} n ON n.doc_id = e.dst
+    GROUP BY e.src
+  ) m USING (doc_id)
+)""")
+    q["dedup_clusters"] = (
+        q["dedup_minhash_pairs"].replace(
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\nFROM bands a JOIN bands b\n  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id",
+            """, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
+"""
+            + ",\n".join(prop_layers)
+            + """
+SELECT doc_id, cluster_id, (cluster_id = doc_id) AS is_canonical FROM l3""",
+        )
+    )
+
     # Blocked token-set Jaccard near-dup: block on source, df-capped token
     # sets (tokens with block-local doc frequency > MAX_TOKEN_DF dropped from
     # the sets first — the identical cap the engine applies), then exact set

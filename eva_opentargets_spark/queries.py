@@ -441,6 +441,15 @@ def dedup_simhash_pairs(spark, sf_dir):
     return dedup.hamming_near_dups(dedup.simhash(_docs(spark, sf_dir)))
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clusters + canonical survivors over the MinHash-LSH pair
+    graph: 3 rounds of min-label propagation (fixed rounds -> the oracle
+    unrolls them as CTE layers, same discipline as ann_kmeans_cells; the
+    operator also offers a converge-until-stable driver loop)."""
+    d = _docs(spark, sf_dir)
+    return dedup.near_dup_clusters(d, dedup.minhash_candidate_pairs(d), rounds=3)
+
+
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force exact top-k — the small-N verifier for ann_lsh_topk."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -570,6 +579,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_clusters": dedup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,

@@ -86,3 +86,28 @@ def test_hamming_pigeonhole_no_false_pairs(spark):
     )  # hamming 4 > 3, but chunks 1..3 all agree (zero)
     out = dedup.hamming_near_dups(sim).collect()
     assert out == []
+
+
+def test_near_dup_clusters_propagation(spark):
+    """Chain a-b-c collapses to min label within rounds >= diameter;
+    singletons stay their own canonical cluster; until_converged matches."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id int")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "doc_a int, doc_b int")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup.near_dup_clusters(docs, pairs, rounds=3).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True), 5: (4, False)}
+    conv = {r.doc_id: r.cluster_id
+            for r in dedup.near_dup_clusters(docs, pairs, until_converged=True).collect()}
+    assert conv == {k: v[0] for k, v in out.items()}
+
+
+def test_near_dup_clusters_long_chain_needs_rounds(spark):
+    """Fixed rounds bound the reach: a 5-doc path converges with
+    until_converged but not in 1 round — documents the rounds contract."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id int")
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a int, doc_b int")
+    one = {r.doc_id: r.cluster_id for r in dedup.near_dup_clusters(docs, path, rounds=1).collect()}
+    assert one[5] == 4  # only one hop travelled
+    full = {r.doc_id: r.cluster_id
+            for r in dedup.near_dup_clusters(docs, path, until_converged=True).collect()}
+    assert set(full.values()) == {1}
