@@ -687,6 +687,24 @@ SELECT doc_id,
                     / greatest(len(string_split(lower(text), ' ')), 1)), 4) AS quality
 FROM documents"""
 
+    # Corpus profiling rollup + deterministic hash sample (operators/corpus
+    # twins; the quality formula matches functions/text.quality_score).
+    q["corpus_stats"] = """
+SELECT source, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       round(avg(len(text)), 4) AS avg_chars,
+       round(avg(0.5 * least(1.0, len(string_split(lower(text), ' ')) / 20.0)
+           + 0.5 * (1 - len(list_filter(string_split(lower(text), ' '),
+                                        t -> t IN ('the', 'a', 'of', 'and', 'is')))
+                    / greatest(len(string_split(lower(text), ' ')), 1))), 4) AS avg_quality
+FROM documents GROUP BY source, lang"""
+
+    q["doc_sample"] = """
+SELECT doc_id, source, lang FROM documents
+WHERE (('0x' || substr(md5('r4:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100) < 10"""
+
     q["dedup_exact"] = """
 SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical_doc_id
 FROM (

@@ -417,6 +417,22 @@ def text_stats(spark, sf_dir):
     )
 
 
+def corpus_stats(spark, sf_dir):
+    """Per-(source, lang) corpus profiling rollup — the before/after gauge
+    of every filtering stage in a training-data pipeline."""
+    from .operators.corpus import corpus_stats as _cs
+
+    return _cs(_docs(spark, sf_dir))
+
+
+def doc_sample(spark, sf_dir):
+    """Deterministic ~10% hash sample: membership is a pure function of
+    (doc_id, salt) — reproducible across clusters, re-runs, partitionings."""
+    from .operators.corpus import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), pct=10, salt="r4").select("doc_id", "source", "lang")
+
+
 def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -572,6 +588,8 @@ QUERIES = {
     "hgvs_parse": hgvs_parse,
     "events_most_severe": events_most_severe,
     "text_stats": text_stats,
+    "corpus_stats": corpus_stats,
+    "doc_sample": doc_sample,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
