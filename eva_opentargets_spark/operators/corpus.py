@@ -59,3 +59,49 @@ def hash_sample(
     narrow filter (no shuffle, no RNG state), reproducible anywhere the
     same ids exist."""
     return docs.filter(sample_bucket(F.col(id_col), salt) < pct)
+
+
+def curate(
+    docs: DataFrame,
+    clusters: DataFrame,
+    min_quality: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus-curation funnel as ONE composed plan: every doc gets its
+    first matching drop reason, in pipeline order —
+      exact_duplicate  — not the canonical (min doc_id) of its content
+                         fingerprint group
+      near_duplicate   — not the canonical survivor of its near-dup
+                         cluster (`clusters` = dedup.near_dup_clusters
+                         output over any pair generator)
+      low_quality      — quality_score < min_quality
+      keep             — survives all stages.
+    Returns (doc_id, quality, drop_reason).
+
+    Plan shape: one window over the fingerprint groups (shuffle on the
+    md5 fingerprint — same key exact dedup shuffles on), one equi-join to
+    the cluster table, everything else in-row; the funnel is ONE scan of
+    the corpus, not one scan per stage."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint
+
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    staged = (
+        docs.withColumn("__fp", fp)
+        .withColumn("__fp_canon", F.row_number().over(w) == 1)
+        .join(
+            clusters.select("doc_id", F.col("is_canonical").alias("__nd_canon")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("__q", F.round(quality_score(F.col(text_col)), 4))
+    )
+    reason = (
+        F.when(~F.col("__fp_canon"), "exact_duplicate")
+        .when(~F.coalesce(F.col("__nd_canon"), F.lit(True)), "near_duplicate")
+        .when(F.col("__q") < min_quality, "low_quality")
+        .otherwise("keep")
+    )
+    return staged.select("doc_id", F.col("__q").alias("quality"), reason.alias("drop_reason"))

@@ -433,6 +433,17 @@ def doc_sample(spark, sf_dir):
     return hash_sample(_docs(spark, sf_dir), pct=10, salt="r4").select("doc_id", "source", "lang")
 
 
+def corpus_curate(spark, sf_dir):
+    """The full curation funnel in one plan: exact-dup canonical ->
+    near-dup cluster canonical (MinHash pairs + 3-round label propagation)
+    -> quality gate. One row per doc with its first drop reason."""
+    from .operators.corpus import curate
+
+    d = _docs(spark, sf_dir)
+    clusters = dedup.near_dup_clusters(d, dedup.minhash_candidate_pairs(d), rounds=3)
+    return curate(d, clusters, min_quality=0.5)
+
+
 def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -589,6 +600,7 @@ QUERIES = {
     "events_most_severe": events_most_severe,
     "text_stats": text_stats,
     "corpus_stats": corpus_stats,
+    "corpus_curate": corpus_curate,
     "doc_sample": doc_sample,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
