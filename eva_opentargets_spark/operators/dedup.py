@@ -151,6 +151,7 @@ def blocked_jaccard_pairs(
     block_col: str = "source",
     threshold: float = 0.8,
     max_token_df: int = MAX_TOKEN_DF,
+    shingle: int = 1,
 ) -> DataFrame:
     """Token-set Jaccard within blocks over df-capped token sets:
     (doc_a, doc_b, jaccard>=threshold).
@@ -167,14 +168,27 @@ def blocked_jaccard_pairs(
     shuffle — with the same input-splits-vs-cores repartition guard as
     minhash_signature_array. Measured at sf0.1/local[32] min-of-3:
     9.69 s -> 1.96 s, identical output.
+
+    shingle > 1 compares word n-GRAM sets instead of unigram token sets
+    (order-sensitive near-dup detection: texts sharing vocabulary but not
+    phrasing stop colliding) — shingles are built in-row from the same
+    token array, everything downstream is unchanged.
     """
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism, "doc_id")
+    toks = F.split(F.lower(F.col("text")), " ")
+    if shingle > 1:
+        units = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle)),
+        )
+    else:
+        units = toks
     dt = docs.select(
         "doc_id",
         block_col,
-        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("tok"),
+        F.explode(F.array_distinct(units)).alias("tok"),
     )
     if max_token_df is not None:
         rare = (

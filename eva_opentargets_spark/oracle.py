@@ -824,6 +824,37 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8"""
     )
 
+    # Word-bigram shingle Jaccard (blocked_jaccard_pairs(shingle=2) twin):
+    # shingles built in-row from the token list, then the identical
+    # df-cap/equi-join/Jaccard machinery.
+    q["dedup_shingle_jaccard"] = f"""
+WITH toks0 AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS tl FROM documents
+),
+dt0 AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tl) - 1, 1) + 1),
+           i -> array_to_string(list_slice(tl, i, i + 1), ' ')))) AS tok
+  FROM toks0
+),
+rare AS (
+  SELECT source, tok FROM dt0 GROUP BY source, tok HAVING count(*) <= {MAX_TOKEN_DF}
+),
+dt AS (SELECT dt0.* FROM dt0 JOIN rare USING (source, tok)),
+sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM dt a JOIN dt b ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.8"""
+
     # SimHash fingerprints: 32-bit token hash = first 8 hex chars of md5;
     # per-bit +/-1 majority vote (identical formula to operators/dedup.py).
     simhash_core = (

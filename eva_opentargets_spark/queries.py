@@ -460,6 +460,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.blocked_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def dedup_shingle_jaccard(spark, sf_dir):
+    """Word-BIGRAM shingle Jaccard near-dup — the order-sensitive variant
+    of dedup_ngram_jaccard (same blocked equi-join machinery over in-row
+    shingle sets)."""
+    return dedup.blocked_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, shingle=2)
+
+
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -606,6 +613,7 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_shingle_jaccard": dedup_shingle_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_pairs": dedup_embedding_pairs,

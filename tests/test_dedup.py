@@ -111,3 +111,23 @@ def test_near_dup_clusters_long_chain_needs_rounds(spark):
     full = {r.doc_id: r.cluster_id
             for r in dedup.near_dup_clusters(docs, path, until_converged=True).collect()}
     assert set(full.values()) == {1}
+
+
+def test_shingle_jaccard_is_order_sensitive(spark):
+    """Bigram shingles discriminate word ORDER: two docs with identical
+    vocabulary but different phrasing are unigram-identical (jaccard 1.0)
+    yet share few bigrams."""
+    d = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps high", "en", "s"),
+            (2, "high jumps fox brown quick the", "en", "s"),  # same words, reversed
+            (3, "the quick brown fox jumps high", "en", "s"),  # identical to 1
+        ],
+    )
+    uni = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.blocked_jaccard_pairs(d, threshold=0.9).collect()}
+    bi = {(r.doc_a, r.doc_b): r.jaccard
+          for r in dedup.blocked_jaccard_pairs(d, threshold=0.9, shingle=2).collect()}
+    assert uni[(1, 2)] == 1.0 and uni[(1, 3)] == 1.0  # unigrams can't tell
+    assert (1, 2) not in bi and bi[(1, 3)] == 1.0     # bigrams can
