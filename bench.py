@@ -39,6 +39,8 @@ HEADLINE = [
     "ann_lsh_topk",  # round 2: the ANN scale path
     "ann_ivf_topk",  # round 3: inverted-file ANN
     "dedup_embedding_pairs",  # round 3: embedding-cosine near-dup LSH
+    "corpus_curate",  # round 4: full dedup+quality funnel (pairs->clusters->gate)
+    "ann_ivf_kmeans_topk",  # round 4: IVF over the Lloyd-refined quantizer
     "events_sessionize",
     "tpch_q1_pricing",
 ]

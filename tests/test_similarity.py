@@ -32,10 +32,10 @@ def test_lsh_finds_identical(spark):
             (2, [-1.0, -2.0, -3.0, -4.0]),
         ],
     )
-    got = similarity.lsh_topk(d, lambda vid: vid == 0, k=2).collect()
+    got = similarity.lsh_topk(d, lambda vid: vid == 0, k=2, dim=4).collect()
     neighbors = {r.neighbor_id for r in got}
     assert 1 in neighbors
-    sigs = {r.vid: r.bucket for r in similarity.lsh_signatures(d).collect()}
+    sigs = {r.vid: r.bucket for r in similarity.lsh_signatures(d, dim=4).collect()}
     assert sigs[0] == sigs[1]
 
 
