@@ -59,7 +59,16 @@ def dedupe_surface_variants(candidates: DataFrame) -> DataFrame:
     present keeps the row_number deterministic."""
     order = [F.col(c).asc() for c in ("lev", "label_norm") if c in candidates.columns]
     if not order:
-        return candidates.dropDuplicates(["mention_norm", "term_id"])
+        # no surface-variant columns: still pick the survivor by a TOTAL
+        # order over the remaining columns (dropDuplicates would keep an
+        # arbitrary row — nondeterministic packed cells)
+        order = [
+            F.col(c).asc()
+            for c in sorted(candidates.columns)
+            if c not in ("mention_norm", "term_id")
+        ]
+        if not order:
+            return candidates.dropDuplicates(["mention_norm", "term_id"])
     w = Window.partitionBy("mention_norm", "term_id").orderBy(*order)
     return (
         candidates.withColumn("__sv", F.row_number().over(w))
@@ -191,10 +200,21 @@ def curation_table(
     if previous_mappings is None or terms is None:
         return base.orderBy(F.col("freq").desc(), F.col("mention_norm").asc())
 
+    # exact_mapping from the SAME aggregation pass as the packed cells
+    # below would be ideal; base already aggregated, so derive it with one
+    # conditional aggregate over the same ranked_rows subtree — Spark
+    # reuses the exchange, not a second ranking pipeline
     exact_m = (
-        ranked_rows.filter(F.col("label_norm") == F.col("mention_norm"))
-        .groupBy("mention_norm")
-        .agg(F.min(F.struct("rank", "cell"))["cell"].alias("exact_mapping"))
+        ranked_rows.groupBy("mention_norm")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("label_norm") == F.col("mention_norm"),
+                    F.struct("rank", "cell"),
+                )
+            )["cell"].alias("exact_mapping")
+        )
+        .filter(F.col("exact_mapping").isNotNull())
     )
     prev_cells = previous_mapping_cells(previous_mappings, terms, ontology)
     notes = F.lit("")

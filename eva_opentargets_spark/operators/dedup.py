@@ -299,6 +299,7 @@ def near_dup_clusters(
     rounds: int = 3,
     id_col: str = "doc_id",
     until_converged: bool = False,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """Near-dup CLUSTERS from candidate pairs: min-label propagation over
     the pair graph — after `rounds` steps every doc carries the smallest
@@ -338,20 +339,27 @@ def near_dup_clusters(
             F.least("cluster_id", F.coalesce("nmin", "cluster_id")).alias("cluster_id"),
         )
         if until_converged:
+            # FULL count (not limit(1)): materializes every partition of the
+            # persisted frame, so later rounds never recompute through the
+            # just-unpersisted parent; max_rounds bounds plan depth (labels
+            # lineage grows one join per round — a kmeans-style driver loop,
+            # not an unbounded recursion)
             new_labels = new_labels.persist()
             changed = (
                 new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
                 .filter(F.col("cluster_id") != F.col("old"))
-                .limit(1)
                 .count()
             )
             if labels.is_cached:
                 labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if changed == 0 or r >= max_rounds:
                 break
         else:
             labels = new_labels
             if r >= rounds:
                 break
-    return labels.withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
+    out = labels.withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
+    # hand the persisted final frame's lifecycle to the caller
+    out._cluster_persisted = [labels] if until_converged else []
+    return out

@@ -151,34 +151,41 @@ def ivf_kmeans_topk(
             ]
         )
     )
-    assigned = v.select("vid", "e", ranked_cells[0]["cell"].alias("cell"))
-    probes = (
-        v.filter(query_filter(F.col("vid")))
-        .select(
-            F.col("vid").alias("query_id"),
-            F.col("e").alias("qe"),
-            F.explode(F.slice(ranked_cells, 1, n_probe)).alias("pc"),
-        )
-        .select("query_id", "qe", F.col("pc.cell").alias("cell"))
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-
     def norm(col):
         return F.sqrt(
             F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
         )
 
+    # norms are computed ONCE per vector/query BEFORE the join — inside the
+    # join they would re-run a dim-length fold per candidate PAIR
+    assigned = v.select(
+        "vid", "e", norm(F.col("e")).alias("nrm"), ranked_cells[0]["cell"].alias("cell")
+    )
+    probes = (
+        v.filter(query_filter(F.col("vid")))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("e").alias("qe"),
+            norm(F.col("e")).alias("qnrm"),
+            F.explode(F.slice(ranked_cells, 1, n_probe)).alias("pc"),
+        )
+        .select("query_id", "qe", "qnrm", F.col("pc.cell").alias("cell"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
     pairs = (
         F.broadcast(probes)
         .join(
-            assigned.select(F.col("vid").alias("neighbor_id"), F.col("e").alias("ce"), "cell"),
+            assigned.select(
+                F.col("vid").alias("neighbor_id"), F.col("e").alias("ce"),
+                F.col("nrm").alias("cnrm"), "cell",
+            ),
             "cell",
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", (dot / (norm(F.col("qe")) * norm(F.col("ce")))).alias("cos"))
+        .select("query_id", "neighbor_id", (dot / (F.col("qnrm") * F.col("cnrm"))).alias("cos"))
     )  # no pair dedup needed: each neighbor lives in exactly ONE cell
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

@@ -795,7 +795,7 @@ SELECT doc_id, cluster_id, (cluster_id = doc_id) AS is_canonical FROM l3""",
     # matching drop reason in pipeline order.
     q["corpus_curate"] = q["dedup_clusters"].replace(
         """SELECT doc_id, cluster_id, (cluster_id = doc_id) AS is_canonical FROM l3""",
-        ", nd AS (SELECT doc_id, (cluster_id = doc_id) AS nd_canon FROM l3),\nfpc AS (\n  SELECT doc_id,\n         (row_number() OVER (\n            PARTITION BY md5(trim(regexp_replace(lower(text), '\\\\s+', ' ', 'g')))\n            ORDER BY doc_id) = 1) AS fp_canon,\n         round(0.5 * least(1.0, len(string_split(lower(text), ' ')) / 20.0)\n           + 0.5 * (1 - len(list_filter(string_split(lower(text), ' '),\n                                        t -> t IN ('the', 'a', 'of', 'and', 'is')))\n                    / greatest(len(string_split(lower(text), ' ')), 1)), 4) AS q\n  FROM documents\n)\nSELECT f.doc_id, f.q AS quality,\n       CASE WHEN NOT f.fp_canon THEN 'exact_duplicate'\n            WHEN NOT coalesce(n.nd_canon, TRUE) THEN 'near_duplicate'\n            WHEN f.q < 0.5 THEN 'low_quality'\n            ELSE 'keep' END AS drop_reason\nFROM fpc f LEFT JOIN nd n USING (doc_id)",
+        ", nd AS (SELECT doc_id, (cluster_id = doc_id) AS nd_canon FROM l3),\nfpc AS (\n  SELECT doc_id,\n         (row_number() OVER (\n            PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))\n            ORDER BY doc_id) = 1) AS fp_canon,\n         round(0.5 * least(1.0, len(string_split(lower(text), ' ')) / 20.0)\n           + 0.5 * (1 - len(list_filter(string_split(lower(text), ' '),\n                                        t -> t IN ('the', 'a', 'of', 'and', 'is')))\n                    / greatest(len(string_split(lower(text), ' ')), 1)), 4) AS q\n  FROM documents\n)\nSELECT f.doc_id, f.q AS quality,\n       CASE WHEN NOT f.fp_canon THEN 'exact_duplicate'\n            WHEN NOT coalesce(n.nd_canon, TRUE) THEN 'near_duplicate'\n            WHEN f.q < 0.5 THEN 'low_quality'\n            ELSE 'keep' END AS drop_reason\nFROM fpc f LEFT JOIN nd n USING (doc_id)",
     )
 
     # Blocked token-set Jaccard near-dup: block on source, df-capped token

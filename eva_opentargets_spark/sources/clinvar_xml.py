@@ -322,7 +322,15 @@ def load_trait_mappings_py(path: str) -> tuple[dict, str]:
             if line.startswith("#") or not line:
                 continue
             in_header = False
-            name, uri, label = line.split("\t")
+            fields = line.split("\t")
+            if len(fields) != 3:
+                # the reference asserts the same 3-column contract
+                # (clinvar_to_evidence_strings.py:344)
+                raise ValueError(
+                    f"trait mapping line must have 3 tab-separated fields, "
+                    f"got {len(fields)}: {line!r}"
+                )
+            name, uri, label = fields
             mappings.setdefault(name.lower(), []).append((uri, label))
     return mappings, ontology
 
@@ -454,6 +462,10 @@ def release_set_header(path: str, last_processed: str) -> bytes:
     attrib["ProcessedBy"] = PROCESSOR
     header = b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n<ReleaseSet'
     for attr, val in attrib.items():
+        # escape only when needed: clean values stay byte-identical to the
+        # reference's unescaped writer (clinvar_dataset.py:40-45); dirty
+        # values become valid XML instead of a malformed header
+        val = val.replace("&", "&amp;").replace('"', "&quot;").replace("<", "&lt;")
         header += f' {attr}="{val}"'.encode()
     return header + b">\n"
 
@@ -477,6 +489,15 @@ def annotate_clinvar_xml(
         so_accessions = dict(fixtures.SO_ACCESSIONS)
     trait_map, target_ontology = load_trait_mappings_py(trait_mapping_tsv)
     gene_map = load_gene_mappings_py(gene_mapping_tsv)
+    # fail fast on the driver: an SO term missing from the dimension would
+    # otherwise KeyError inside the executors mid-job
+    missing_so = {
+        so for cons in gene_map.values() for _g, so, _t in cons if so not in so_accessions
+    }
+    if missing_so:
+        raise ValueError(
+            f"gene mapping uses SO terms absent from so_accessions: {sorted(missing_so)}"
+        )
     paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
 
     def annotate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
