@@ -1,0 +1,61 @@
+"""Adversarial-input oracle parity probes: run engine and DuckDB twin on
+HAND-PICKED rows the bundled corpus doesn't contain (the round-4 self
+review found a latent oracle regex bug that sf fixtures couldn't catch —
+no document there has consecutive whitespace). These probes register the
+same rows on both engines and compare, closing that class of gap."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+DOCS = [
+    # whitespace runs: fingerprint must collapse them (the latent-bug case)
+    (1, "alpha  beta   gamma", "en", "s"),
+    (2, "alpha beta gamma", "en", "s"),
+    # tabs/odd spacing inside text, plus a doc with trailing space
+    (3, "alpha beta gamma ", "en", "s"),
+    (4, "delta words entirely different here", "en", "s"),
+    # single-token and short docs (partial winnowing windows)
+    (5, "tiny", "en", "s"),
+    (6, "ab", "en", "s"),
+]
+
+
+def _duck(rows):
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(" + ", ".join([str(r[0]), f"'{r[1]}'", f"'{r[2]}'", f"'{r[3]}'"]) + ")"
+        for r in rows
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) "
+        "t(doc_id, text, lang, source)"
+    )
+    return con
+
+
+def _spark_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def _norm(rows):
+    return sorted(tuple("NULL" if v is None else str(v) for v in r) for r in rows)
+
+
+@pytest.mark.parametrize("qname", ["dedup_exact", "corpus_curate", "text_stats"])
+def test_oracle_parity_on_adversarial_docs(spark, qname, monkeypatch):
+    from eva_opentargets_spark.oracle import all_oracle_sql
+    from eva_opentargets_spark import queries as Q
+
+    # point the query's _docs loader at the probe rows
+    monkeypatch.setattr(Q, "_docs", lambda s, sf: _spark_docs(s, DOCS))
+    got = Q.QUERIES[qname](spark, "unused")
+    got_rows = _norm(
+        [tuple(r) for r in got.select(*sorted(got.columns)).collect()]
+    )
+    con = _duck(DOCS)
+    df = con.execute(all_oracle_sql()[qname]).df()
+    df = df[sorted(df.columns)]
+    exp_rows = _norm([tuple(r) for r in df.itertuples(index=False, name=None)])
+    assert got_rows == exp_rows, f"{qname}: engine/oracle diverge on adversarial docs"
