@@ -210,8 +210,18 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
     32 real cores; 2 vs 8 measures the engine, not the neighbors."""
     results = {}
     for cpus in (low, high):
+        # SPARK_SCALING_PIN=1: pin the child's WHOLE process tree (JVM and
+        # its Arrow python workers inherit the affinity mask) to exactly
+        # `cpus` cores via taskset — the sandbox stand-in for cgroup-pinned
+        # executors. Without it, local[N] caps only JVM task threads and
+        # python UDF workers overlap on free cores (measured ~318% CPU at
+        # local[2]), inflating the low-parallelism baseline on idle hosts
+        # (see BENCH.md "adjudication of the N-vs-4N denominator").
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)]
+        if os.environ.get("SPARK_SCALING_PIN") == "1":
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+            cmd,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
                  # ample heap so neither parallelism level spills its caches
                  # (the round-1 >1.0 "efficiency" was a local[2] spill artifact)
