@@ -135,3 +135,36 @@ def rolling_fingerprint(col: Column, k: int = ROLL_K) -> Column:
     # emptiness must be tested on the string itself: split('', '') yields
     # [''] (size 1), so F.size(codes) can't see an empty document
     return F.when(F.length(col) > 0, _bind_once(codes, compute))
+
+
+# PII patterns, RE2-compatible so the DuckDB twin runs them verbatim
+# (no lookarounds/backrefs). Order matters: email before phone so the
+# digits in a mailbox name aren't half-eaten by the phone pattern.
+PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9\-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """PII scrubbing for training corpora: emails, IPv4s and phone-shaped
+    digit runs replaced by typed placeholder tokens, applied in a fixed
+    pattern order. Pure JVM regexp_replace chain — one narrow pass."""
+    out = col
+    for _name, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_count(col: Column) -> Column:
+    """Number of PII matches, counted PROGRESSIVELY: pattern i is counted
+    on the text already redacted by patterns 0..i-1, so the digits inside
+    an address the email pattern consumed are never double-counted as a
+    phone number. (The DuckDB twin chains identically.)"""
+    total = F.lit(0)
+    cur = col
+    for _name, pattern, token in PII_PATTERNS:
+        total = total + F.regexp_count(cur, F.lit(pattern))
+        cur = F.regexp_replace(cur, pattern, token)
+    return total

@@ -705,6 +705,27 @@ FROM documents GROUP BY source, lang"""
 SELECT doc_id, source, lang FROM documents
 WHERE (('0x' || substr(md5('r4:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100) < 10"""
 
+    # PII redaction + vocabulary (functions/text.PII_PATTERNS imported so
+    # the two sides cannot drift; patterns are RE2-compatible by design).
+    from .functions.text import PII_PATTERNS
+
+    def _sq(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    red = "text"
+    cnt = "0"
+    for _n, pat, tok in PII_PATTERNS:
+        cnt += f" + len(regexp_extract_all({red}, {_sq(pat)}))"
+        red = f"regexp_replace({red}, {_sq(pat)}, {_sq(tok)}, 'g')"
+    q["text_redact"] = f"""
+SELECT doc_id, {red} AS redacted, ({cnt})::INT AS n_redactions
+FROM documents"""
+
+    q["corpus_vocabulary"] = """
+SELECT tok, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+GROUP BY tok"""
+
     q["dedup_exact"] = """
 SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical_doc_id
 FROM (

@@ -444,6 +444,34 @@ def corpus_curate(spark, sf_dir):
     return curate(d, clusters, min_quality=0.5)
 
 
+def text_redact(spark, sf_dir):
+    """PII scrubbing pass: redacted text + match count per doc (emails,
+    IPv4s, phone-shaped digit runs -> typed placeholders). The bundled
+    corpus contains no PII, so the real behavior is pinned by the
+    adversarial oracle probes (tests/test_oracle_probes.py)."""
+    from .functions.text import pii_count, redact_pii
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        pii_count(F.col("text")).alias("n_redactions"),
+    )
+
+
+def corpus_vocabulary(spark, sf_dir):
+    """Vocabulary table for tokenizer training: per lowercased token, total
+    occurrences (tf) and document frequency (df) — one explode + one
+    partially-aggregated groupBy."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+
+
 def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -607,6 +635,8 @@ QUERIES = {
     "events_most_severe": events_most_severe,
     "text_stats": text_stats,
     "corpus_stats": corpus_stats,
+    "text_redact": text_redact,
+    "corpus_vocabulary": corpus_vocabulary,
     "corpus_curate": corpus_curate,
     "doc_sample": doc_sample,
     "dedup_exact": dedup_exact,

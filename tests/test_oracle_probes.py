@@ -19,6 +19,10 @@ DOCS = [
     # single-token and short docs (partial winnowing windows)
     (5, "tiny", "en", "s"),
     (6, "ab", "en", "s"),
+    # PII: an email whose digits could double-count as a phone, a real
+    # phone, an IPv4 (the bundled corpus contains none of these)
+    (7, "contact john.doe99@example.org or +1-555-0123-456 now", "en", "s"),
+    (8, "server at 192.168.0.1 responded", "en", "s"),
 ]
 
 
@@ -43,7 +47,10 @@ def _norm(rows):
     return sorted(tuple("NULL" if v is None else str(v) for v in r) for r in rows)
 
 
-@pytest.mark.parametrize("qname", ["dedup_exact", "corpus_curate", "text_stats"])
+@pytest.mark.parametrize(
+    "qname",
+    ["dedup_exact", "corpus_curate", "text_stats", "text_redact", "corpus_vocabulary"],
+)
 def test_oracle_parity_on_adversarial_docs(spark, qname, monkeypatch):
     from eva_opentargets_spark.oracle import all_oracle_sql
     from eva_opentargets_spark import queries as Q
