@@ -110,6 +110,18 @@ def flagship_turns_per_sec(
 BEST_PATH = os.path.join(REPO, "BENCH_BEST.json")
 REGRESSION_FACTOR = 1.3  # flag any query >1.3x its recorded best (same sf+cpus)
 
+# Algorithm-version tags (round-4 ADVICE #2): bump a query's version when its
+# ALGORITHM or config deliberately changes, so the regression guard starts a
+# fresh best-entry under "<query>#v<N>" instead of permanently flagging the
+# rework against minima recorded for the superseded algorithm (the round-4
+# pigeonhole-SimHash rework had to hand-edit BENCH_BEST.json for exactly this).
+QUERY_VERSIONS: dict[str, int] = {}
+
+
+def _vkey(q: str) -> str:
+    v = QUERY_VERSIONS.get(q, 1)
+    return q if v == 1 else f"{q}#v{v}"
+
 
 def _load_best() -> dict:
     try:
@@ -128,11 +140,16 @@ def _regression_guard(sf: str, cpus: str, timings: dict) -> list[str]:
     key = f"{sf}:{cpus}"
     prior = best.get(key, {})
     flagged = [
-        q for q, sec in timings.items() if q in prior and sec > REGRESSION_FACTOR * prior[q]
+        q
+        for q, sec in timings.items()
+        if _vkey(q) in prior and sec > REGRESSION_FACTOR * prior[_vkey(q)]
     ]
     # merge, don't replace: a partial run (or a renamed HEADLINE entry) must
     # not erase recorded minima for queries it didn't time
-    best[key] = {**prior, **{q: min(sec, prior.get(q, sec)) for q, sec in timings.items()}}
+    best[key] = {
+        **prior,
+        **{_vkey(q): min(sec, prior.get(_vkey(q), sec)) for q, sec in timings.items()},
+    }
     try:
         with open(BEST_PATH, "w") as fh:
             json.dump(best, fh, indent=1, sort_keys=True)

@@ -138,19 +138,47 @@ def rolling_fingerprint(col: Column, k: int = ROLL_K) -> Column:
 
 
 # PII patterns, RE2-compatible so the DuckDB twin runs them verbatim
-# (no lookarounds/backrefs). Order matters: email before phone so the
-# digits in a mailbox name aren't half-eaten by the phone pattern.
+# (no lookarounds/backrefs; \b and \B ARE RE2-supported). ORDER IS THE
+# PRECEDENCE RULE — each pattern sees text already redacted by the ones
+# above it (progressive chain):
+#   * credential URLs before email — the email pattern would otherwise eat
+#     'user:pass@host' partially;
+#   * email before phone/handle — a mailbox's digits must not half-count
+#     as a phone, and a consumed address leaves no '@' for the handle;
+#   * card/government-ID shapes before the generic phone digit-run;
+#   * handles last, anchored \B so 'john@host' residue never matches.
 PII_PATTERNS = [
+    ("cred_url", r"[a-zA-Z][a-zA-Z0-9+.\-]*://[^/\s:@]+:[^/\s:@]+@[^\s]+", "<CRED_URL>"),
     ("email", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("credit_card", r"\b[0-9]{4}[ \-]?[0-9]{4}[ \-]?[0-9]{4}[ \-]?[0-9]{1,4}\b", "<CC>"),
+    ("gov_id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<GOV_ID>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
     ("phone", r"\+?[0-9][0-9\-]{7,}[0-9]", "<PHONE>"),
+    ("handle", r"\B@[A-Za-z0-9_]{2,}", "<HANDLE>"),
 ]
 
 
+def redact_with_count(col: Column) -> Column:
+    """(redacted, n_redactions) struct from ONE progressive pattern chain:
+    each pattern runs one regexp_count + one regexp_replace on the text as
+    redacted by the patterns above it (so an email's digits never
+    double-count as a phone, and precedence is the list order). Queries
+    that need both outputs must extract the struct through a generator
+    (F.inline of a 1-element array) — Catalyst has no common-subexpression
+    elimination across GetStructField copies, so a plain two-field select
+    would re-run the whole chain per field (round-4 ADVICE #4: the
+    previous separate redact_pii + pii_count columns did exactly that,
+    roughly doubling per-row regex cost on the corpus scan)."""
+    total = F.lit(0)
+    cur = col
+    for _name, pattern, token in PII_PATTERNS:
+        total = total + F.regexp_count(cur, F.lit(pattern))
+        cur = F.regexp_replace(cur, pattern, token)
+    return F.struct(cur.alias("redacted"), total.alias("n_redactions"))
+
+
 def redact_pii(col: Column) -> Column:
-    """PII scrubbing for training corpora: emails, IPv4s and phone-shaped
-    digit runs replaced by typed placeholder tokens, applied in a fixed
-    pattern order. Pure JVM regexp_replace chain — one narrow pass."""
+    """Redacted text only — the replace half of the progressive chain."""
     out = col
     for _name, pattern, token in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)
@@ -158,13 +186,6 @@ def redact_pii(col: Column) -> Column:
 
 
 def pii_count(col: Column) -> Column:
-    """Number of PII matches, counted PROGRESSIVELY: pattern i is counted
-    on the text already redacted by patterns 0..i-1, so the digits inside
-    an address the email pattern consumed are never double-counted as a
-    phone number. (The DuckDB twin chains identically.)"""
-    total = F.lit(0)
-    cur = col
-    for _name, pattern, token in PII_PATTERNS:
-        total = total + F.regexp_count(cur, F.lit(pattern))
-        cur = F.regexp_replace(cur, pattern, token)
-    return total
+    """Match count only. Use redact_with_count when BOTH outputs are
+    needed — computing them separately duplicates the chain."""
+    return redact_with_count(col)["n_redactions"]

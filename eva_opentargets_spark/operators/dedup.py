@@ -300,6 +300,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     until_converged: bool = False,
     max_rounds: int = 50,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS from candidate pairs: min-label propagation over
     the pair graph — after `rounds` steps every doc carries the smallest
@@ -319,7 +320,17 @@ def near_dup_clusters(
     kmeans-style driver loop that stops when a round changes no label
     (one extra count job per round), for graphs where chains matter.
     Fixed rounds keep the query oracle-expressible (unrolled CTE twin,
-    the same discipline as ann_kmeans_cells)."""
+    the same discipline as ann_kmeans_cells).
+
+    Persistence contract (round-4 ADVICE #1: no monkey-patched handle
+    attributes): with until_converged, the final labels frame is persisted
+    by the loop. If the caller supplies `persisted_out`, the handle is
+    appended there and the CALLER owns unpersisting it. Without it, the
+    result is localCheckpoint(eager)-materialized and the loop cache is
+    released before returning — downstream consumers read the checkpoint
+    (lineage truncated, so nothing recomputes the round chain), and the
+    checkpoint storage's lifetime is tied to the returned frame itself
+    (ContextCleaner reclaims it on GC), not leaked into the session."""
     nodes = docs.select(F.col(id_col).alias("doc_id"))
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = e.unionByName(
@@ -360,6 +371,10 @@ def near_dup_clusters(
             if r >= rounds:
                 break
     out = labels.withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
-    # hand the persisted final frame's lifecycle to the caller
-    out._cluster_persisted = [labels] if until_converged else []
+    if until_converged:
+        if persisted_out is not None:
+            persisted_out.append(labels)
+        else:
+            out = out.localCheckpoint(eager=True)
+            labels.unpersist()
     return out

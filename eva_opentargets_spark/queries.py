@@ -445,18 +445,18 @@ def corpus_curate(spark, sf_dir):
 
 
 def text_redact(spark, sf_dir):
-    """PII scrubbing pass: redacted text + match count per doc (emails,
-    IPv4s, phone-shaped digit runs -> typed placeholders). The bundled
-    corpus contains no PII, so the real behavior is pinned by the
-    adversarial oracle probes (tests/test_oracle_probes.py)."""
-    from .functions.text import pii_count, redact_pii
+    """PII scrubbing pass: redacted text + match count per doc (credential
+    URLs, emails, card/government-ID shapes, IPv4s, phone digit runs,
+    @handles -> typed placeholders). Both outputs come from ONE shared
+    progressive chain, extracted through F.inline so the struct is
+    evaluated once per row (no Catalyst CSE across struct-field copies).
+    The bundled corpus contains no PII, so the real behavior is pinned by
+    the adversarial oracle probes (tests/test_oracle_probes.py), one
+    positive and one negative row per pattern family."""
+    from .functions.text import redact_with_count
 
     d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        redact_pii(F.col("text")).alias("redacted"),
-        pii_count(F.col("text")).alias("n_redactions"),
-    )
+    return d.select("doc_id", F.inline(F.array(redact_with_count(F.col("text")))))
 
 
 def corpus_vocabulary(spark, sf_dir):

@@ -113,6 +113,53 @@ def test_dictionary_scale_cascade_selects_arrow_and_links(spark, big_terms):
         res.unpersist()
 
 
+def test_metrics_gate_counts_before_collecting(spark, monkeypatch):
+    """Above MAPPING_LITERAL_THRESHOLD compute_metrics must route straight
+    to the join form WITHOUT materializing one driver-side row per linked
+    distinct mention (round-4 verdict wrong #1: the fanout map was
+    collected unconditionally and then thrown away above the gate — at
+    transcript scale that vocabulary is millions of rows)."""
+    import dataclasses
+
+    import pyspark.sql
+
+    from eva_opentargets_spark.config import MAPPING_LITERAL_THRESHOLD
+    from eva_opentargets_spark.pipeline import compute_metrics
+
+    res = run_pipeline(spark, derive_transcripts(spark, SF_DIR))
+    try:
+        n = MAPPING_LITERAL_THRESHOLD + 10
+        big_links = spark.createDataFrame(
+            [(f"m{i}", f"T:{i}", "exact") for i in range(n)],
+            "mention_norm string, term_id string, match_type string",
+        )
+        big_distinct = spark.createDataFrame(
+            [(f"m{i}", 2) for i in range(n)], "mention_norm string, freq long"
+        )
+        res2 = dataclasses.replace(res, links=big_links, distinct=big_distinct)
+
+        collected: list[tuple[str, ...]] = []
+        orig = pyspark.sql.DataFrame.collect
+
+        def spy(self):
+            collected.append(tuple(self.columns))
+            return orig(self)
+
+        monkeypatch.setattr(pyspark.sql.DataFrame, "collect", spy)
+        metrics = {
+            r["counter"]: r["value"]
+            for r in compute_metrics(spark, res2, corpus_only=True).collect()
+        }
+        # the join form ran (freq=2 per mention, fanout=1 -> 2n triples)
+        assert metrics["triples_emitted"] == 2 * n
+        # and the per-linked-mention fanout frame was never collected
+        assert ("mention_norm", "n") not in collected, (
+            "metrics path collected the link-fanout map above the literal gate"
+        )
+    finally:
+        res.unpersist()
+
+
 def test_dictionary_scale_disease_groups_udf_and_evidence(spark):
     mappings = _big_mappings()
     transcripts = derive_transcripts(spark, SF_DIR)

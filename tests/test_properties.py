@@ -118,8 +118,15 @@ def test_label_propagation_matches_python_connected_components(spark):
 
         docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
         pairs = spark.createDataFrame(sorted(edges), "doc_a int, doc_b int")
+        # explicit-handle contract: the caller owns the converged frame's
+        # cache lifetime (round-4 ADVICE #1 — no attribute side-channel)
+        handles: list = []
         got = {
             r.doc_id: r.cluster_id
-            for r in dedup.near_dup_clusters(docs, pairs, until_converged=True).collect()
+            for r in dedup.near_dup_clusters(
+                docs, pairs, until_converged=True, persisted_out=handles
+            ).collect()
         }
+        for h in handles:
+            h.unpersist()
         assert got == expected, f"seed {seed}"
