@@ -75,6 +75,31 @@ def synonyms_sql() -> str:
     return values_clause(TERM_SYNONYMS, SYNONYM_COLUMNS)
 
 
+# (parent_id, child_id) is_a hierarchy edges — the descendants-search
+# operator's input (reference bin/trait_mapping/get_children_with_keywords
+# .py:26-60, OLS hierarchicalDescendants). Shapes exercised: a 3-level
+# chain under the EFO:0001 root, a DIAMOND (EFO:0005 reachable at depth 2
+# via two parents -> min-depth semantics), a depth-4 node beyond the
+# default bound, and a disjoint subtree that must never appear.
+ONTOLOGY_IS_A: list[tuple[str, str]] = [
+    ("EFO:0001", "EFO:0002"),  # spark -> hash join         (depth 1)
+    ("EFO:0001", "EFO:0003"),  # spark -> sort merge        (depth 1)
+    ("EFO:0002", "EFO:0004"),  # hash join -> table scan    (depth 2)
+    ("EFO:0003", "EFO:0005"),  # sort merge -> window       (depth 2)
+    ("EFO:0002", "EFO:0005"),  # diamond: window also via hash join (depth 2)
+    ("EFO:0004", "EFO:0006"),  # table scan -> merge        (depth 3)
+    ("EFO:0005", "EFO:0007"),  # window -> merge            (depth 3)
+    ("EFO:0006", "EFO:0009"),  # merge -> fast scan         (depth 4: out of bound)
+    ("EFO:0013", "EFO:0014"),  # disjoint subtree (not under the root)
+]
+
+IS_A_COLUMNS = ["parent_id", "child_id"]
+
+
+def is_a_sql() -> str:
+    return values_clause(ONTOLOGY_IS_A, IS_A_COLUMNS)
+
+
 # (src_curie, dst_curie, distance, source)
 ONTOLOGY_XREFS: list[tuple[str, str, int, str]] = [
     ("MONDO:0010", "EFO:0011", 1, "mondo"),

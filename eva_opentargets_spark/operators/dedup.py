@@ -221,16 +221,59 @@ def blocked_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """SimHash fingerprints: per-bit majority vote over token hashes.
+def simhash(docs: DataFrame, bits: int = 32, form: str = "inrow") -> DataFrame:
+    """SimHash fingerprints: per-bit majority vote over DISTINCT-token
+    hashes. Token hash = first bits/4 hex chars of md5 (32 bits -> 8 hex;
+    wider fingerprints take more hex, <= 60 bits so shifts stay inside a
+    signed int64); bit b contributes +1/-1; sign of the sum is bit b of the
+    fingerprint. Identical output from both forms (pytest-pinned equality):
 
-    Token hash = first 8 hex chars of md5 -> 32-bit int (JVM conv()); bit b
-    contributes +1/-1; sign of the sum is bit b of the fingerprint. Pure
-    column math (no UDF): explode tokens, explode bit positions via a
-    sequence, aggregate votes, reassemble bits.
+    * form="inrow" (default, round-5): the whole computation is per-row
+      column math — array_distinct on the split gives the token set, md5 is
+      evaluated ONCE per token into a bound array (`_bind_once`), and each
+      bit's vote is an F.aggregate over that array. ZERO corpus-scale
+      shuffles (round-4 verdict wrong #2: the explode form paid a
+      cluster-wide (doc, tok) DISTINCT plus a bits-x-token-count vote
+      shuffle — at 10^12 turns those two corpus-grain shuffles dominate;
+      the round-4 sf0.1 A/B tie measured constant factors, not volume).
+      Same input-splits-vs-cores repartition guard as
+      minhash_signature_array (the chain is narrow).
+    * form="explode": the round-2..4 shape — explode tokens, cluster-wide
+      distinct, explode bit positions, aggregate votes — kept for the
+      scale A/B (tools/bench_scale.py) and as the fallback shape.
     """
+    n_hex = bits // 4
+    assert bits <= 60 and bits % 4 == 0, "bits must be a multiple of 4, <= 60"
+    if form == "inrow":
+        from ..functions.text import _bind_once
+
+        parallelism = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < parallelism:
+            docs = docs.repartition(parallelism, "doc_id")
+        hashes = F.transform(
+            F.array_distinct(F.split(F.lower(F.col("text")), " ")),
+            lambda t: F.conv(F.substring(F.md5(t), 1, n_hex), 16, 10).cast("long"),
+        )
+
+        def compute(hh):
+            fp = F.lit(0).cast("long")
+            for b in range(bits):
+                vote = F.aggregate(
+                    hh,
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+                )
+                fp = fp + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            return fp
+
+        return docs.select("doc_id", _bind_once(hashes, compute).alias("simhash"))
     toks = doc_tokens(docs).select("doc_id", "tok").distinct()
-    hashed = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, n_hex), 16, 10).cast("long")
+    )
     votes = (
         hashed.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
         .withColumn("vote", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"))

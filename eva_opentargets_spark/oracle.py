@@ -1153,6 +1153,81 @@ FROM (
 ) WHERE rank <= 5"""
     )
 
+    # is_a-descendants search, unrolled (operators/hierarchy twin): 3 CTE
+    # layers of first-visit BFS (each layer anti-filters every earlier
+    # layer, so diamond children keep their MINIMUM depth), obsolete terms
+    # excluded, keyword predicate surfaced as a flag column.
+    q["kg_descendants"] = f"""
+WITH edges AS (SELECT * FROM {fixtures.is_a_sql()}),
+terms AS (SELECT * FROM {fixtures.terms_sql()}),
+d0 AS (SELECT 'EFO:0001' AS node),
+d1 AS (
+  SELECT DISTINCT e.child_id AS node, 1 AS depth
+  FROM edges e JOIN d0 ON e.parent_id = d0.node
+  WHERE e.child_id NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT e.child_id AS node, 2 AS depth
+  FROM edges e JOIN d1 ON e.parent_id = d1.node
+  WHERE e.child_id NOT IN (SELECT node FROM d0 UNION SELECT node FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT e.child_id AS node, 3 AS depth
+  FROM edges e JOIN d2 ON e.parent_id = d2.node
+  WHERE e.child_id NOT IN (SELECT node FROM d0 UNION SELECT node FROM d1
+                           UNION SELECT node FROM d2)
+),
+desc_all AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+SELECT t.term_id, t.label, d.depth, contains(t.label, 'merge') AS matches_merge
+FROM desc_all d JOIN terms t ON t.term_id = d.node
+WHERE NOT t.is_obsolete"""
+
+    # BPE merge training, unrolled (operators/bpe.bpe_merges twin): the
+    # Spark query is a driver loop with fixed n_merges=6 and deterministic
+    # parts throughout (top pair by count DESC, lhs ASC, rhs ASC; greedy
+    # left-to-right merge application via literal replace on the
+    # SEP-wrapped symbol string), so the loop unrolls into 6 CTE layers —
+    # the ann_kmeans_cells discipline applied to tokenizer training.
+    from .operators.bpe import SEP as _BSEP
+
+    bpe_rounds = 6
+    bpe_ctes = [
+        f"""w0 AS (
+  SELECT regexp_replace(word, '(.)', '{_BSEP}\\1{_BSEP}', 'g') AS s, count(*) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' AND NOT contains(word, '{_BSEP}')
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, bpe_rounds + 1):
+        bpe_ctes.append(f"""p{r} AS (
+  SELECT sl[i] AS lhs, sl[i + 1] AS rhs, sum(freq) AS cnt
+  FROM (
+    SELECT freq, sl, unnest(range(1, greatest(len(sl), 1))) AS i
+    FROM (SELECT freq, string_split(trim(s, '{_BSEP}'), '{_BSEP}{_BSEP}') AS sl
+          FROM w{r - 1})
+  )
+  GROUP BY 1, 2
+)""")
+        bpe_ctes.append(
+            f"t{r} AS (SELECT lhs, rhs, cnt FROM p{r} "
+            "ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        bpe_ctes.append(f"""w{r} AS (
+  SELECT replace(w.s, '{_BSEP}' || t.lhs || '{_BSEP}{_BSEP}' || t.rhs || '{_BSEP}',
+                 '{_BSEP}' || t.lhs || t.rhs || '{_BSEP}') AS s, w.freq
+  FROM w{r - 1} w, t{r} t
+)""")
+    q["corpus_bpe_merges"] = (
+        "WITH "
+        + ",\n".join(bpe_ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT {r} AS merge_rank, lhs, rhs, cnt::BIGINT AS pair_count FROM t{r}"
+            for r in range(1, bpe_rounds + 1)
+        )
+    )
+
     # Event-stream tumbling 1-hour aggregation (batch twin of the
     # Structured Streaming job in streaming/ingest.py).
     q["events_hourly"] = """

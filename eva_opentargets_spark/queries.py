@@ -344,6 +344,27 @@ def kg_eval_metrics(spark, sf_dir):
     )
 
 
+def kg_descendants(spark, sf_dir):
+    """is_a-hierarchy descendants search (the get_children_with_keywords
+    analog, reference bin/trait_mapping/get_children_with_keywords.py:26-60):
+    bounded-depth first-visit BFS from the EFO:0001 root over the is_a edge
+    fixture — diamond children carry their MINIMUM depth, depth-4 nodes and
+    the disjoint subtree are excluded — plus the keyword predicate exposed
+    as a flag column so the oracle pins the filter semantics too."""
+    from .operators.hierarchy import descendants_with_keyword
+    from .sources.dictionary import demo_is_a
+
+    out = descendants_with_keyword(
+        demo_terms(spark), demo_is_a(spark), root="EFO:0001", keyword=None, max_depth=3
+    )
+    return out.select(
+        "term_id",
+        "label",
+        "depth",
+        F.col("label").contains("merge").alias("matches_merge"),
+    )
+
+
 def hgvs_parse(spark, sf_dir):
     """F5/F6 — HGVS parse + repeat classification over the fixture corpus.
     The oracle is a reference-semantics golden table (fixtures.HGVS_CASES):
@@ -470,6 +491,16 @@ def corpus_vocabulary(spark, sf_dir):
     return toks.groupBy("tok").agg(
         F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
     )
+
+
+def corpus_bpe_merges(spark, sf_dir):
+    """BPE merge training (6 rounds): the tokenizer-training driver loop —
+    per round one vocab-grain pair-count groupBy + a 1-row collect, merges
+    applied in-row. Oracle: 6 unrolled CTE layers (the kmeans
+    discipline)."""
+    from .operators.bpe import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), n_merges=6)
 
 
 def dedup_exact(spark, sf_dir):
@@ -631,6 +662,7 @@ QUERIES = {
     "kg_feedback": kg_feedback,
     "kg_metadata": kg_metadata,
     "kg_eval_metrics": kg_eval_metrics,
+    "kg_descendants": kg_descendants,
     "hgvs_parse": hgvs_parse,
     "events_most_severe": events_most_severe,
     "text_stats": text_stats,
@@ -638,6 +670,7 @@ QUERIES = {
     "text_redact": text_redact,
     "corpus_vocabulary": corpus_vocabulary,
     "corpus_curate": corpus_curate,
+    "corpus_bpe_merges": corpus_bpe_merges,
     "doc_sample": doc_sample,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,

@@ -27,6 +27,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size shuffles to DATA, not cores: start every shuffle fine-grained
+        # and let AQE coalesce down. With initialPartitionNum = cores, the
+        # round-5 10x scale run showed the minhash candidate distinct
+        # spilling 7M-row partial-agg maps per partition (first run 139 s vs
+        # 21 s at 256 partitions); small dictionary-scale shuffles coalesce
+        # back to a handful of tasks, so the 1x suite measured neutral-to-
+        # faster under the same setting (BENCH.md scale-curve section).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_INITIAL_PARTITIONS", str(max(256, 8 * shuffle))),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -36,6 +36,14 @@ def demo_previous_mappings(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(fixtures.PREVIOUS_MAPPINGS, TRAIT_MAPPINGS)
 
 
+def demo_is_a(spark: SparkSession) -> DataFrame:
+    """is_a hierarchy edges (parent_id, child_id) — input of the
+    descendants-search operator (operators/hierarchy.py)."""
+    return spark.createDataFrame(
+        fixtures.ONTOLOGY_IS_A, "parent_id string, child_id string"
+    )
+
+
 def load_mapping_tsv(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
     """Load a latest_mappings.tsv-shaped file; returns (df, target_ontology).
 

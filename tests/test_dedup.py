@@ -131,3 +131,27 @@ def test_shingle_jaccard_is_order_sensitive(spark):
           for r in dedup.blocked_jaccard_pairs(d, threshold=0.9, shingle=2).collect()}
     assert uni[(1, 2)] == 1.0 and uni[(1, 3)] == 1.0  # unigrams can't tell
     assert (1, 2) not in bi and bi[(1, 3)] == 1.0     # bigrams can
+
+
+def test_simhash_inrow_equals_explode_form(spark):
+    """The round-5 zero-shuffle in-row SimHash must be bit-identical to the
+    explode form it supersedes, at the default width and a wide (60-bit)
+    one — the two forms share only the hash formula, so equality pins the
+    vote/assembly logic."""
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s"),
+        (2, "alpha beta gamma delta epsilon", "en", "s"),
+        (3, "entirely different words here now", "en", "s"),
+        (4, "alpha alpha alpha beta", "en", "s"),  # multiset == set semantics
+        (5, "tiny", "en", "s"),
+        (6, "", "en", "s"),
+    ]
+    d = _docs(spark, rows)
+    for bits in (32, 60):
+        inrow = {r.doc_id: r.simhash for r in dedup.simhash(d, bits=bits).collect()}
+        expl = {
+            r.doc_id: r.simhash
+            for r in dedup.simhash(d, bits=bits, form="explode").collect()
+        }
+        assert inrow == expl, f"bits={bits}"
+        assert all(0 <= v < (1 << bits) for v in inrow.values())

@@ -173,8 +173,60 @@ def test_real_png_decode_via_spark(spark):
     assert list(out[0].feature) == pytest.approx([50 / 255.0] * 8)
 
 
-def test_png_interlaced_still_not_implemented():
-    """Adam7 stays an honest NotImplementedError, not a wrong answer."""
+def make_adam7_png(pixels, channels=3):
+    """Adam7-INTERLACED encoding of the same pixel grid (filter 0 on every
+    pass scanline): pixels scattered into the 7 reduced images per the
+    spec-8.2 grid — the exact inverse of the decoder's scatter-back."""
+    import zlib
+
+    height = len(pixels)
+    width = len(pixels[0]) // channels
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in adam7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            raw.append(0)  # filter None
+            y = y0 + py * dy
+            for px in range(pw):
+                x = x0 + px * dx
+                raw.extend(pixels[y][x * channels : (x + 1) * channels])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_adam7_reconstructs_identically_to_sequential():
+    """Round-5: Adam7 decode is real — the same pixel grid encoded
+    interlaced and non-interlaced must reconstruct to the identical raster
+    (so identical features), on sizes that exercise partial passes."""
+    from eva_opentargets_spark.operators.multimodal import _png_features
+
+    for w, h, ch in [(9, 9, 3), (8, 8, 1), (5, 3, 4), (1, 1, 3), (2, 7, 2)]:
+        pixels = [
+            [((x * 31 + y * 17 + c * 7) % 256) for x in range(w) for c in range(ch)]
+            for y in range(h)
+        ]
+        seq = _png_features(make_png(pixels, channels=ch))
+        inter = _png_features(make_adam7_png(pixels, channels=ch))
+        assert inter == pytest.approx(seq), f"{w}x{h}x{ch}"
+
+
+def test_png_palette_still_not_implemented():
+    """Palette PNGs stay an honest NotImplementedError, not a wrong
+    answer (color type 3 needs the PLTE lookup we don't implement)."""
     import zlib
 
     from eva_opentargets_spark.operators.multimodal import _png_features
@@ -185,8 +237,8 @@ def test_png_interlaced_still_not_implemented():
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # color_type=3
     png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 6)) + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         _png_features(png)
