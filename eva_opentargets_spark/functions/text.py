@@ -137,6 +137,57 @@ def rolling_fingerprint(col: Column, k: int = ROLL_K) -> Column:
     return F.when(F.length(col) > 0, _bind_once(codes, compute))
 
 
+def repetition_stats(col: Column) -> Column:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1) as a
+    (dup_token_frac, top_token_frac, top_bigram_frac) struct:
+      dup_token_frac — fraction of tokens that are repeats of an earlier
+        token (1 - distinct/total);
+      top_token_frac — fraction of tokens equal to the most frequent one;
+      top_bigram_frac — fraction of adjacent bigrams equal to the most
+        frequent bigram (null when the doc has < 2 tokens).
+    Repetition filters drop boilerplate/spam that length and stopword
+    heuristics miss.
+
+    Scale shape: fully IN-ROW (token array bound once, counts as
+    higher-order aggregates) — zero shuffles, O(distinct x tokens) per row.
+    For book-length docs an explode + (doc_id, tok) groupBy computes the
+    same in O(tokens) at the cost of a corpus-scale shuffle; at typical
+    web-doc lengths the in-row form wins the same way minhash_signature_
+    array does. Extract BOTH fields through one generator (F.inline of a
+    1-element array) — Catalyst re-runs the struct per GetStructField copy
+    otherwise (same CSE gap redact_with_count documents)."""
+    toks = F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+
+    def compute(tt: Column) -> Column:
+        n = F.size(tt)
+        dist = F.array_distinct(tt)
+        top = F.array_max(
+            F.transform(dist, lambda t: F.size(F.filter(tt, lambda x: x == t)))
+        )
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(tt, i), F.element_at(tt, i + 1)),
+        )
+
+        def bigram_top(bg: Column) -> Column:
+            return F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda b: F.size(F.filter(bg, lambda x: x == b)),
+                )
+            )
+
+        return F.struct(
+            F.when(n > 0, F.round(1 - F.size(dist) / n, 4)).alias("dup_token_frac"),
+            F.when(n > 0, F.round(top / n, 4)).alias("top_token_frac"),
+            F.when(n > 1, F.round(_bind_once(bigrams, bigram_top) / (n - 1), 4)).alias(
+                "top_bigram_frac"
+            ),
+        )
+
+    return _bind_once(toks, compute)
+
+
 # PII patterns, RE2-compatible so the DuckDB twin runs them verbatim
 # (no lookarounds/backrefs; \b and \B ARE RE2-supported). ORDER IS THE
 # PRECEDENCE RULE — each pattern sees text already redacted by the ones

@@ -40,16 +40,16 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def sample_bucket(id_col, salt: str = "") -> F.Column:
-    """Deterministic bucket in [0, 100): first 8 md5 hex chars of
-    '<salt>:<id>' as an int, mod 100. Identical formula in the DuckDB
+def sample_bucket(id_col, salt: str = "", buckets: int = 100) -> F.Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars of
+    '<salt>:<id>' as an int, mod buckets. Identical formula in the DuckDB
     oracle twin."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string"))), 1, 8),
         16,
         10,
     ).cast("long")
-    return h % 100
+    return h % buckets
 
 
 def hash_sample(
@@ -59,6 +59,104 @@ def hash_sample(
     narrow filter (no shuffle, no RNG state), reproducible anywhere the
     same ids exist."""
     return docs.filter(sample_bucket(F.col(id_col), salt) < pct)
+
+
+def _word_shingles(text_col: str, n: int) -> F.Column:
+    """In-row word n-gram array (the blocked_jaccard_pairs shingle recipe,
+    dedup.py:233-236): docs shorter than n tokens contribute ONE short
+    shingle of whatever tokens exist."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    if n <= 1:
+        return toks
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the eval-leak scrub every LLM training
+    corpus runs before training (the n-gram-overlap discipline of GPT-3
+    appendix C / PaLM / Llama: a training doc is contaminated if it shares
+    >= min_overlap word n-grams with any benchmark/eval document).
+    Returns (doc_id, n_contaminated_ngrams, contaminated) for every corpus
+    doc; n_contaminated_ngrams counts the doc's DISTINCT shingles that
+    appear anywhere in the benchmark set.
+
+    Scale shape: the benchmark side is eval suites — thousands of docs, not
+    billions — so its distinct shingle set is BROADCAST; the corpus side is
+    one in-row shingle build + explode (map-side, no shuffle) into a
+    broadcast-hash semi-join, and the only shuffle in the plan is the
+    doc-grain overlap count. The corpus is never self-joined and never
+    shuffled at shingle grain."""
+    sh = _word_shingles(text_col, n)
+    bench_sh = benchmark.select(F.explode(F.array_distinct(sh)).alias("sh")).distinct()
+    doc_sh = docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("int")
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_hits.alias("n_contaminated_ngrams"),
+            (n_hits >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 128,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for LLM training — the concat-and-chunk layout:
+    docs are concatenated in stable (shard, doc_id) order and the token
+    stream is cut into fixed ctx_len windows; each doc learns which
+    training sequence it starts in and at what offset. Returns
+    (doc_id, shard, n_tokens, seq_idx, seq_offset) where seq_idx is the
+    window holding the doc's FIRST token and seq_offset its position
+    within that window.
+
+    Scale shape: a single global concatenation order would be one
+    unpartitioned window function — a single-task sort at corpus scale.
+    Packing is therefore SHARDED: shard = deterministic hash of doc_id
+    (reproducible anywhere, like hash_sample), windows never cross shard
+    boundaries, and the cumulative sum runs per shard in parallel — in
+    production n_shards scales with the cluster (thousands), each shard's
+    running sum is one sorted partition, and the waste is bounded by
+    < ctx_len tokens per shard tail. Deterministic by construction:
+    re-running packing on the same corpus yields byte-identical layouts,
+    which is what makes training resumable mid-epoch."""
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    d = docs.select(
+        "doc_id",
+        sample_bucket(F.col("doc_id"), "pack", n_shards).cast("int").alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / ctx_len).cast("int").alias("seq_idx"),
+        (start % ctx_len).cast("int").alias("seq_offset"),
+    )
 
 
 def curate(

@@ -146,6 +146,58 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Incremental dedup — the daily-ingest shape (round-5, engine-new):
+    candidate near-dup pairs where AT LEAST ONE side is a NEW document
+    (new-vs-corpus and new-vs-new), without ever re-pairing the existing
+    corpus against itself. Returns (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale shape: the probe side is the NEW batch only — its band rows are
+    broadcast against the corpus band table, so a day's ingest costs
+    O(|new| x bucket density), not O(|corpus|^2); the corpus side is one
+    scan (in production the per-doc signatures/bands are a bucketed table
+    materialized at ingest time, so even that scan reads precomputed
+    bands — this operator recomputes them only because the sandbox has no
+    persistent signature table). Equivalent to filtering
+    minhash_candidate_pairs(corpus + new) to pairs touching a new doc —
+    the equality is pytest-pinned."""
+    all_docs = corpus_docs.unionByName(new_docs)
+    sigs = minhash_signature_array(all_docs, n_hashes)
+    rows_per_band = n_hashes // n_bands
+    all_bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.array_join(F.slice("sig", b * rows_per_band + 1, rows_per_band), ""))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    new_ids = new_docs.select("doc_id")
+    new_bands = all_bands.join(F.broadcast(new_ids), "doc_id", "inner")
+    a, b = new_bands.alias("a"), all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def blocked_jaccard_pairs(
     docs: DataFrame,
     block_col: str = "source",

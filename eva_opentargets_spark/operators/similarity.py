@@ -221,6 +221,42 @@ def lsh_planes_for(
     return max(min_planes, min(max_planes, math.ceil(math.log2(n_vectors / target_bucket))))
 
 
+def lsh_config_for(
+    n_vectors: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    target_bucket: int = 64,
+    max_tables: int = 256,
+) -> tuple[int, int]:
+    """Joint (n_planes, n_tables) sizing that holds BOTH knobs the round-5
+    10x measurement showed trade against each other (BENCH.md): bit-width
+    bounds per-bucket candidate cost, table count buys recall back.
+
+    Theory (random-hyperplane LSH): a pair at cosine c collides in one
+    plane with p1 = 1 - arccos(c)/pi, in one n_planes-bit table with
+    p1^n_planes (AND), and in >=1 of n_tables tables with
+    1 - (1 - p1^n_planes)^n_tables (OR). Given the width from
+    lsh_planes_for (expected bucket ~target_bucket at any N), the minimal
+    table count meeting target_recall AT the threshold cosine is
+    ceil(ln(1-recall) / ln(1-p1^planes)). Cost scales LINEARLY with tables
+    but QUADRATICALLY with bucket population, so growing tables while
+    bits track log2(N) is the side of the trade that survives 100 TB —
+    the measured 10x datapoint: fixed 6x8 31.2 s vs derived 9-plane
+    widths 5.4 s (recall 31% at cos 0.4) vs 9x32 27.2 s (recall
+    restored); at the realistic near-dup band (cos>=0.8, p1=0.80) the
+    same width bump needs only ~2x tables. max_tables caps runaway
+    configs when the threshold is far below the family's sweet spot."""
+    import math
+
+    p1 = 1 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    n_planes = lsh_planes_for(n_vectors, target_bucket)
+    per_table = p1**n_planes
+    if per_table >= 1.0:
+        return n_planes, 1
+    tables = math.ceil(math.log(1 - target_recall) / math.log(1 - per_table))
+    return n_planes, max(1, min(max_tables, tables))
+
+
 def nd_weight(table: int, plane: int, dim: int) -> float:
     """Deterministic hyperplane weight in [-1, 1) for the near-dup LSH
     tables, computed DRIVER-side (md5 of 'nd:<table>:<plane>:<dim>') and
@@ -233,12 +269,13 @@ def nd_weight(table: int, plane: int, dim: int) -> float:
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_tables: int = 8,
+    n_tables: int | None = 8,
     n_planes: int | None = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     n_vectors: int | None = None,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup counterpart of
     lsh_topk. OR-amplified random-hyperplane LSH: `n_tables` independent
@@ -258,11 +295,21 @@ def embedding_near_dups(
     Pass n_planes=None + n_vectors (a corpus-size estimate is enough) to
     size the bit-width by the lsh_planes_for rule — bits grow with
     log2(N/target_bucket), bounding per-bucket population (and thus
-    per-bucket candidate pairs) at any corpus size."""
-    if n_planes is None:
+    per-bucket candidate pairs) at any corpus size. Pass n_tables=None too
+    and the table count is derived by lsh_config_for to hold
+    `target_recall` AT the threshold cosine — the production wiring: both
+    knobs sized from (corpus size, threshold, recall target), nothing
+    fixture-scale left in the config."""
+    if n_planes is None or n_tables is None:
         if n_vectors is None:
-            raise ValueError("n_planes=None requires n_vectors (corpus-size estimate)")
-        n_planes = lsh_planes_for(n_vectors)
+            raise ValueError(
+                "n_planes/n_tables=None requires n_vectors (corpus-size estimate)"
+            )
+        derived_planes, derived_tables = lsh_config_for(
+            n_vectors, threshold, target_recall
+        )
+        n_planes = derived_planes if n_planes is None else n_planes
+        n_tables = derived_tables if n_tables is None else n_tables
     # input-splits-vs-cores guard (same as dedup.minhash_signature_array):
     # the signature computation is narrow, so a single-split input would
     # serialize all 48 hyperplane projections onto one core (measured

@@ -726,6 +726,84 @@ SELECT tok, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
 FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
 GROUP BY tok"""
 
+    # Gopher-style repetition stats (functions/text.repetition_stats twin):
+    # counts via unnest + groupBy here where Spark folds in-row — same math.
+    q["text_repetition"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tl
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(tl) AS tok FROM toks) GROUP BY doc_id, tok
+),
+tok_stats AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct, max(c) AS top
+  FROM tok_counts GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tl) - 1, 0) + 1),
+         i -> tl[i] || ' ' || tl[i + 1])) AS b
+  FROM toks WHERE len(tl) > 1
+),
+bg_counts AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bg_stats AS (SELECT doc_id, max(c) AS topbg, sum(c) AS nbg FROM bg_counts GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN t.n > 0 THEN round(1 - t.n_distinct * 1.0 / t.n, 4) END AS dup_token_frac,
+       CASE WHEN t.n > 0 THEN round(t.top * 1.0 / t.n, 4) END AS top_token_frac,
+       CASE WHEN b.topbg IS NOT NULL THEN round(b.topbg * 1.0 / b.nbg, 4) END
+         AS top_bigram_frac
+FROM documents d
+LEFT JOIN tok_stats t USING (doc_id)
+LEFT JOIN bg_stats b USING (doc_id)"""
+
+    # Benchmark decontamination (operators/corpus.decontaminate twin):
+    # deterministic ~5% hash sample as the eval set, word-trigram shingles
+    # built with the dedup_shingle_jaccard slice recipe, overlap counted on
+    # the doc's DISTINCT shingles.
+    q["corpus_decontaminate"] = """
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tl,
+         (('0x' || substr(md5('bench:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100) < 5
+           AS is_bench
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, is_bench,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tl) - 2, 1) + 1),
+           i -> array_to_string(list_slice(tl, i, i + 2), ' ')))) AS s
+  FROM base
+),
+bench_set AS (SELECT DISTINCT s FROM sh WHERE is_bench),
+hits AS (
+  SELECT sh.doc_id, count(*) AS n
+  FROM sh JOIN bench_set USING (s)
+  WHERE NOT sh.is_bench GROUP BY sh.doc_id
+)
+SELECT d.doc_id, coalesce(h.n, 0)::INT AS n_contaminated_ngrams,
+       coalesce(h.n, 0) >= 2 AS contaminated
+FROM base d LEFT JOIN hits h USING (doc_id)
+WHERE NOT d.is_bench"""
+
+    # Sequence packing (operators/corpus.pack_sequences twin): deterministic
+    # 8-way shard, running token sum in (shard, doc_id) order, 128-token
+    # windows.
+    q["corpus_pack"] = """
+WITH d AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8))::INT
+           AS shard,
+         len(string_split(text, ' '))::INT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((sum(n_tokens) OVER w - n_tokens) / 128) AS INT) AS seq_idx,
+       CAST((sum(n_tokens) OVER w - n_tokens) % 128 AS INT) AS seq_offset
+FROM d
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
     q["dedup_exact"] = """
 SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical_doc_id
 FROM (
@@ -1193,7 +1271,8 @@ WHERE NOT t.is_obsolete"""
     bpe_rounds = 6
     bpe_ctes = [
         f"""w0 AS (
-  SELECT regexp_replace(word, '(.)', '{_BSEP}\\1{_BSEP}', 'g') AS s, count(*) AS freq
+  SELECT word, regexp_replace(word, '(.)', '{_BSEP}\\1{_BSEP}', 'g') AS s,
+         count(*) AS freq
   FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
   WHERE word <> '' AND NOT contains(word, '{_BSEP}')
   GROUP BY word
@@ -1214,7 +1293,8 @@ WHERE NOT t.is_obsolete"""
             "ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1)"
         )
         bpe_ctes.append(f"""w{r} AS (
-  SELECT replace(w.s, '{_BSEP}' || t.lhs || '{_BSEP}{_BSEP}' || t.rhs || '{_BSEP}',
+  SELECT w.word,
+         replace(w.s, '{_BSEP}' || t.lhs || '{_BSEP}{_BSEP}' || t.rhs || '{_BSEP}',
                  '{_BSEP}' || t.lhs || t.rhs || '{_BSEP}') AS s, w.freq
   FROM w{r - 1} w, t{r} t
 )""")
@@ -1226,6 +1306,56 @@ WHERE NOT t.is_obsolete"""
             f"SELECT {r} AS merge_rank, lhs, rhs, cnt::BIGINT AS pair_count FROM t{r}"
             for r in range(1, bpe_rounds + 1)
         )
+    )
+
+    # BPE tokenization (operators/bpe.apply_merges twin): the same unrolled
+    # training chain, whose final layer w6 IS the word -> merged-symbols
+    # vocabulary; per-doc token count = sum of symbol-list lengths over the
+    # doc's words (LEFT JOIN keeps all-empty docs at 0, matching the
+    # engine's empty-token filter).
+    q["corpus_bpe_tokenize"] = (
+        "WITH "
+        + ",\n".join(bpe_ctes)
+        + f"""
+SELECT dd.doc_id, coalesce(t.n, 0)::INT AS n_bpe_tokens
+FROM documents dd LEFT JOIN (
+  SELECT d.doc_id,
+         sum(len(string_split(trim(v.s, '{_BSEP}'), '{_BSEP}{_BSEP}'))) AS n
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents) d
+  JOIN w{bpe_rounds} v USING (word)
+  GROUP BY d.doc_id
+) t USING (doc_id)"""
+    )
+
+    # Incremental (daily-ingest) minhash dedup: same signatures/bands as
+    # dedup_minhash_pairs, new-batch membership by the SAME deterministic
+    # hash-sample formula as corpus.sample_bucket(salt='inc'), pairs
+    # restricted to those touching a new doc (normalized least/greatest).
+    q["dedup_incremental_pairs"] = (
+        doc_prefix()
+        + """
+, sigs AS (
+  SELECT doc_id,
+"""
+        + ",\n".join(f"         min(md5('{i}:' || tok)) AS h{i}" for i in range(N_MINHASHES))
+        + f"""
+  FROM doc_tokens GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+flagged AS (
+  SELECT b.*,
+         (('0x' || substr(md5('inc:' || b.doc_id::VARCHAR), 1, 8))::BIGINT % 100) < 10
+           AS is_new
+  FROM bands b
+)
+SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       greatest(a.doc_id, b.doc_id) AS doc_b
+FROM flagged a JOIN flagged b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+WHERE a.is_new"""
     )
 
     # Event-stream tumbling 1-hour aggregation (batch twin of the

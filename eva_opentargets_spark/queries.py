@@ -480,6 +480,40 @@ def text_redact(spark, sf_dir):
     return d.select("doc_id", F.inline(F.array(redact_with_count(F.col("text")))))
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per doc: duplicate-token
+    fraction, top-token fraction, top-bigram fraction — the boilerplate/
+    spam filters length heuristics miss. Fully in-row (zero shuffles);
+    struct extracted once via F.inline."""
+    from .functions.text import repetition_stats
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.inline(F.array(repetition_stats(F.col("text")))))
+
+
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: a deterministic ~5% hash sample plays the
+    eval suite; every remaining corpus doc is scored by how many of its
+    distinct word trigrams appear anywhere in the benchmark set, and
+    flagged when >= 2 do. The benchmark shingle set is broadcast — the
+    corpus is never shuffled at shingle grain."""
+    from .operators.corpus import decontaminate, sample_bucket
+
+    d = _docs(spark, sf_dir)
+    is_bench = sample_bucket(F.col("doc_id"), "bench") < 5
+    return decontaminate(d.filter(~is_bench), d.filter(is_bench), n=3, min_overlap=2)
+
+
+def corpus_pack(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): deterministic shard, stable
+    doc_id order within shard, running token count cut into 128-token
+    training windows — each doc's (seq_idx, seq_offset) placement. Sharded
+    so the running sum parallelizes; windows never cross shards."""
+    from .operators.corpus import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), ctx_len=128, n_shards=8)
+
+
 def corpus_vocabulary(spark, sf_dir):
     """Vocabulary table for tokenizer training: per lowercased token, total
     occurrences (tf) and document frequency (df) — one explode + one
@@ -491,6 +525,40 @@ def corpus_vocabulary(spark, sf_dir):
     return toks.groupBy("tok").agg(
         F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
     )
+
+
+def corpus_bpe_tokenize(spark, sf_dir):
+    """The inference half of BPE: train 6 merges (same loop as
+    corpus_bpe_merges), then tokenize every doc with the in-row replace
+    chain — per-doc BPE token count. Oracle: the unrolled training chain
+    carries the word column through, then a LEFT JOIN from docs to the
+    final word->symbols vocabulary (docs whose words are all empty keep a
+    0 count on both sides)."""
+    from .operators.bpe import apply_merges, bpe_merges
+
+    d = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(d, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    out = apply_merges(d, merges)
+    return out.select(
+        "doc_id",
+        F.size(F.filter("bpe_tokens", lambda t: t != "")).alias("n_bpe_tokens"),
+    )
+
+
+def dedup_incremental_pairs(spark, sf_dir):
+    """Incremental (daily-ingest) dedup: a deterministic ~10% hash sample
+    plays the 'new batch'; candidates are new-vs-corpus and new-vs-new
+    band collisions only — the corpus is never self-paired. Production
+    broadcasts the new batch's bands against the materialized corpus
+    signature table."""
+    from .operators.corpus import sample_bucket
+
+    d = _docs(spark, sf_dir)
+    is_new = sample_bucket(F.col("doc_id"), "inc") < 10
+    return dedup.incremental_minhash_pairs(d.filter(is_new), d.filter(~is_new))
 
 
 def corpus_bpe_merges(spark, sf_dir):
@@ -598,7 +666,18 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
 def dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs via OR-amplified hyperplane LSH
     (8 tables x 6 planes), scored once per candidate, cos >= 0.4 (the
-    near-dup band of this corpus's cosine distribution)."""
+    near-dup band of this corpus's cosine distribution).
+
+    Scale wiring (round-5 10x measurement, BENCH.md scale-curve section):
+    fixed 6-bit buckets go quadratic in bucket occupancy as the corpus
+    grows — at 10x vectors this query measured ~20x. Production passes
+    n_planes=None + n_vectors (table contract) so widths derive via
+    lsh_planes_for (measured 5.8x faster at 10x), and raises n_tables
+    with the width when low-cosine recall must be held (9 planes x 32
+    tables restored fixed-6 recall at equal cost there — the LSH
+    rho-exponent tradeoff; at the realistic cos>=0.8 near-dup band the
+    compensation is mild). Width 6 IS the derived width at this fixture
+    scale, so the demo pins the same formula the scale path uses."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.embedding_near_dups(emb, threshold=0.4, dim=64)
 
@@ -670,7 +749,11 @@ QUERIES = {
     "text_redact": text_redact,
     "corpus_vocabulary": corpus_vocabulary,
     "corpus_curate": corpus_curate,
+    "corpus_decontaminate": corpus_decontaminate,
+    "corpus_pack": corpus_pack,
+    "text_repetition": text_repetition,
     "corpus_bpe_merges": corpus_bpe_merges,
+    "corpus_bpe_tokenize": corpus_bpe_tokenize,
     "doc_sample": doc_sample,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -680,6 +763,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_incremental_pairs": dedup_incremental_pairs,
     "dedup_clusters": dedup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,

@@ -114,3 +114,35 @@ def test_apply_merges_rank_order_cascades(spark):
     d = _docs(spark, ["abc"])
     out = bpe.apply_merges(d, [("a", "b"), ("ab", "c")]).select("bpe_tokens").first()[0]
     assert out == ["abc"]
+
+
+def test_apply_merges_token_count_matches_reference_tokenization(spark):
+    """Training + tokenizing with the engine equals tokenizing with the
+    Python reference's learned merges."""
+    texts = ["the cat sat", "the bat sat sat", "a cathat"]
+    merges = [(l, r) for l, r, _ in py_bpe(_word_freqs(texts), 4)]
+    got = {
+        r.doc_id: [t for t in r.bpe_tokens if t != ""]
+        for r in bpe.apply_merges(_docs(spark, texts), merges).collect()
+    }
+
+    def py_tokenize(text):
+        out = []
+        for w in text.lower().split(" "):
+            if not w:
+                continue
+            syms = list(w)
+            for l, rr in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                        res.append(l + rr)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.extend(syms)
+        return out
+
+    assert got == {i: py_tokenize(t) for i, t in enumerate(texts)}

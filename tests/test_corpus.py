@@ -33,6 +33,82 @@ def test_corpus_stats_one_row_per_stratum(spark):
     assert out[("s0", "en")].total_tokens == 100 * 7
 
 
+def test_decontaminate_counts_distinct_shared_ngrams(spark):
+    """Overlap = DISTINCT doc trigrams present anywhere in the benchmark
+    set; the flag fires at min_overlap; clean docs report 0."""
+    from eva_opentargets_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris", "en", "b")],
+        "doc_id long, text string, lang string, source string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares trigrams: 'what is the', 'is the capital', 'the capital of',
+            # 'capital of france' -> 4 distinct hits
+            (1, "tell me what is the capital of france please", "en", "s"),
+            # exactly one shared trigram ('capital of france') -> below min_overlap=2
+            (2, "capital of france only once here", "en", "s"),
+            (3, "nothing in common with that benchmark at all", "en", "s"),
+            # repeated contaminated trigram counts ONCE (distinct shingles)
+            (4, "what is the zzz what is the", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        r.doc_id: (r.n_contaminated_ngrams, r.contaminated)
+        for r in decontaminate(corpus, bench, n=3, min_overlap=2).collect()
+    }
+    assert out == {1: (4, True), 2: (1, False), 3: (0, False), 4: (1, False)}
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-and-chunk invariants: within each shard, seq positions follow
+    the running token sum in doc_id order; offsets stay inside the window;
+    the layout is identical under any input partitioning (deterministic)."""
+    from eva_opentargets_spark.operators.corpus import pack_sequences
+
+    d = _docs(spark)
+    out = pack_sequences(d, ctx_len=16, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r.shard < 4 and 0 <= r.seq_offset < 16
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1  # hash shard actually spreads docs
+    for rows in by_shard.values():
+        cum = 0
+        for r in sorted(rows, key=lambda r: r.doc_id):
+            assert r.seq_idx == cum // 16 and r.seq_offset == cum % 16
+            cum += r.n_tokens
+    again = pack_sequences(d.repartition(7), ctx_len=16, n_shards=4).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_repetition_stats_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from eva_opentargets_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "a a a b"),      # dup 0.5, top 0.75, bigrams: 'a a'x2,'a b' -> 2/3
+        (2, "x y z"),        # all distinct: dup 0, top 1/3, bigrams unique 1/2
+        (3, "w"),            # single token: bigram frac null
+        (4, ""),             # empty: all null
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.dup_token_frac, r.top_token_frac, r.top_bigram_frac)
+        for r in d.select(
+            "doc_id", F.inline(F.array(repetition_stats(F.col("text"))))
+        ).collect()
+    }
+    assert out[1] == (0.5, 0.75, 0.6667)
+    assert out[2] == (0.0, 0.3333, 0.5)
+    assert out[3] == (0.0, 1.0, None)
+    assert out[4] == (None, None, None)
+
+
 def test_curation_funnel_reasons(spark):
     """Every funnel stage fires in pipeline order: exact-dup loses to its
     canonical, near-dup non-canonicals drop, low quality drops, the rest

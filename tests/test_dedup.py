@@ -155,3 +155,29 @@ def test_simhash_inrow_equals_explode_form(spark):
         }
         assert inrow == expl, f"bits={bits}"
         assert all(0 <= v < (1 << bits) for v in inrow.values())
+
+
+def test_incremental_pairs_equal_filtered_full_pairs(spark):
+    """incremental_minhash_pairs(new, corpus) must equal the full pair set
+    of (corpus + new) restricted to pairs touching a new doc — the
+    incremental path may skip corpus self-pairing but never a pair a full
+    recompute would find."""
+    rows = [
+        (i, f"alpha beta gamma delta w{i % 4} x{i % 3}", "en", "s")
+        for i in range(1, 25)
+    ]
+    d = _docs(spark, rows)
+    new = d.filter("doc_id % 5 = 0")
+    corpus = d.filter("doc_id % 5 != 0")
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_minhash_pairs(new, corpus).collect()
+    }
+    new_ids = {r.doc_id for r in new.collect()}
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_candidate_pairs(d).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert inc == full
+    assert all(a < b for a, b in inc)

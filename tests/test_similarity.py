@@ -58,3 +58,70 @@ def test_near_dups_derived_width_requires_estimate(spark):
     emb = spark.createDataFrame([(0, [1.0] * 4)], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         embedding_near_dups(emb, n_planes=None, dim=4)
+
+
+def test_lsh_config_for_joint_sizing():
+    """Recall-targeted config: tables grow when recall demands more OR
+    draws, shrink when the threshold cosine collides more per table."""
+    from math import acos, pi
+
+    from eva_opentargets_spark.operators.similarity import lsh_config_for
+
+    planes, tables = lsh_config_for(2_000, 0.8, target_recall=0.9)
+    assert planes == 6
+    p1 = 1 - acos(0.8) / pi
+    assert 1 - (1 - p1**planes) ** tables >= 0.9  # meets the target exactly
+    assert 1 - (1 - p1**planes) ** (tables - 1) < 0.9  # and is minimal
+    _, more = lsh_config_for(2_000, 0.8, target_recall=0.99)
+    assert more > tables  # higher recall -> more tables
+    _, fewer = lsh_config_for(2_000, 0.95, target_recall=0.9)
+    assert fewer < tables  # easier threshold -> fewer tables
+    _, capped = lsh_config_for(10**12, 0.4, target_recall=0.99)
+    assert capped == 256  # far below the family sweet spot -> capped
+
+
+def test_near_dups_auto_config_meets_recall(spark):
+    """Fully-derived (n_planes=None, n_tables=None) wiring: on a seeded
+    cluster corpus, candidate recall vs brute force at the threshold
+    cosine meets the configured target (with slack for the fixed
+    deterministic hyperplanes standing in for the theory's random draws)."""
+    import math
+
+    from eva_opentargets_spark.operators.similarity import embedding_near_dups
+
+    def vec(seed, dim=16):
+        import hashlib
+
+        return [
+            (int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:8], 16) % 2000 - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+
+    rows = []
+    vid = 0
+    for c in range(30):  # 30 clusters of 3 near-identical vectors
+        base = vec(f"c{c}")
+        for j in range(3):
+            jit = vec(f"c{c}j{j}")
+            rows.append((vid, [b + 0.08 * t for b, t in zip(base, jit)]))
+            vid += 1
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dups(
+        d, threshold=0.9, n_planes=None, n_tables=None, dim=16,
+        n_vectors=len(rows), target_recall=0.95,
+    )
+    found = {(r.vec_a, r.vec_b) for r in got.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    truth = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if cos(rows[i][1], rows[j][1]) >= 0.9
+    }
+    assert truth and found <= truth  # no false positives (exact rescoring)
+    assert len(found) / len(truth) >= 0.85  # recall near the 0.95 target
