@@ -84,6 +84,45 @@ def stream_triples(
     )
 
 
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_dedup_docs(
+    spark: SparkSession,
+    input_path: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-time twin of dedup_exact /
+    incremental_minhash_pairs: documents arrive as a file stream, each is
+    fingerprinted (same content hash as the batch operator), and only the
+    FIRST document per fingerprint is emitted; later arrivals of the same
+    content — within a micro-batch, across micro-batches, or across query
+    restarts — are dropped by the engine's keyed dedup state (which the
+    streaming checkpoint persists, so exactly-once survives restarts).
+
+    Scale shape: dropDuplicates state is hash-partitioned by fingerprint
+    across executors and holds one entry per DISTINCT document ever seen —
+    the right cost for a dedup boundary, but unbounded over an infinite
+    stream. Pass `event_time_col` to switch to
+    dropDuplicatesWithinWatermark: duplicates are only suppressed within
+    the watermark horizon and state is evicted behind it — the production
+    posture when dedup-at-ingest is backed by the batch dedup_exact sweep
+    (which catches cross-horizon twins at rest)."""
+    from ..functions.text import fingerprint
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    docs = stream.withColumn("fingerprint", fingerprint(F.col("text")))
+    if event_time_col is not None:
+        return docs.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    return docs.dropDuplicates(["fingerprint"])
+
+
 def run_available_now(streaming_df: DataFrame, query_name: str, checkpoint_dir: str):
     """Drain all currently-available input, then stop (batch-like semantics,
     streaming machinery — the per-partition resumability of checkpoint.py,
