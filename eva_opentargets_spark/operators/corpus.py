@@ -159,6 +159,194 @@ def pack_sequences(
     )
 
 
+def boilerplate_score(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 8,
+    max_frac: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-n-gram-fraction quality signal (the Gopher/RefinedWeb
+    boilerplate filter, corpus-wide flavor): for every doc, the fraction of
+    its DISTINCT word n-gram shingles that are corpus-frequent (appear in
+    >= min_df docs). Docs dominated by shared passages — navigation chrome,
+    license headers, templated spam — score high and get flagged. Returns
+    (doc_id, n_shingles, n_flagged, boilerplate_frac, is_boilerplate).
+
+    Scale shape: shingles are built in-row (no token-grain shuffle on the
+    build); the only corpus-grain shuffle is the shingle-df groupBy, which
+    partial-aggregates map-side. The frequent-shingle table is bounded by
+    total_shingle_mass / min_df — at a production min_df (0.01% of corpus)
+    it is a heavy-hitter set, small enough that AQE converts the join-back
+    to broadcast; here it stays a plain equi-join so the plan is the same
+    shape at any scale. The corpus is never self-joined."""
+    sh = _word_shingles(text_col, n)
+    doc_sh = docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    frequent = (
+        doc_sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("sh")
+    )
+    flagged = doc_sh.join(frequent, "sh").groupBy("doc_id").agg(
+        F.count("*").alias("n_flagged")
+    )
+    nf = F.coalesce(F.col("n_flagged"), F.lit(0)).cast("int")
+    frac = F.round(nf / F.greatest(F.col("n_shingles"), F.lit(1)), 4)
+    return (
+        docs.select("doc_id", F.size(F.array_distinct(sh)).cast("int").alias("n_shingles"))
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            nf.alias("n_flagged"),
+            frac.alias("boilerplate_frac"),
+            (frac >= max_frac).alias("is_boilerplate"),
+        )
+    )
+
+
+# Resolution of the mix_sources sampling threshold: quotas are expressed as
+# an integer bucket cutoff in [0, MIX_BUCKETS] so the accept test is pure
+# integer math — bit-identical in Spark and the DuckDB twin.
+MIX_BUCKETS = 1_000_000
+
+
+def mix_sources(
+    docs: DataFrame,
+    parts: dict[str, int],
+    total: int,
+    salt: str = "mix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain/source mixing — the sampling step that turns a raw crawl into
+    a training mixture: `parts` gives integer mixture weights per source
+    (e.g. {'web': 6, 'code': 3, 'books': 1}), `total` the target doc count;
+    each source is downsampled DETERMINISTICALLY (hash_sample's
+    content-hash discipline, never RNG) toward quota_s = total * parts_s /
+    sum(parts). Sources with fewer docs than their quota keep everything —
+    the shortfall is reported, not silently reallocated. Returns the
+    surviving docs with their source's accept threshold attached.
+
+    Scale shape: per-source counts are ONE tiny aggregation (rows = number
+    of sources); thresholds are integer math on that table, broadcast back
+    onto the corpus; the accept test is a narrow in-row filter. No corpus
+    shuffle, no driver-side collect — the mixture spec never leaves the
+    plan."""
+    if not parts or total <= 0:
+        raise ValueError("mix_sources needs a non-empty parts map and total > 0")
+    sum_parts = sum(parts.values())
+    part_map = F.create_map(
+        *[F.lit(x) for kv in parts.items() for x in (kv[0], kv[1])]
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    # threshold_s = min(MIX_BUCKETS, total * parts_s * MIX_BUCKETS / (sum_parts * n_src))
+    # — all-integer, exact, and capped at keep-everything.
+    thr = F.least(
+        F.lit(MIX_BUCKETS).cast("long"),
+        F.floor(
+            F.lit(total)
+            * F.coalesce(part_map[F.col("source")], F.lit(0)).cast("long")
+            * F.lit(MIX_BUCKETS)
+            / (F.lit(sum_parts) * F.col("n_src"))
+        ),
+    )
+    quotas = counts.select("source", thr.cast("long").alias("accept_threshold"))
+    return (
+        docs.join(F.broadcast(quotas), "source")
+        .filter(
+            sample_bucket(F.col(id_col), salt, MIX_BUCKETS) < F.col("accept_threshold")
+        )
+        .select("doc_id", "source", "accept_threshold")
+    )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram language-model scoring — the perplexity-proxy quality filter
+    (the CCNet/Llama-style LM filter with the simplest possible LM): train
+    token probabilities p(tok) = tf / total_tf on the corpus itself, then
+    score every doc by its mean negative log-likelihood. Unusually probable
+    docs are boilerplate/repetitive; unusually improbable ones are noise —
+    both tails are filter candidates. Returns
+    (doc_id, n_tokens, avg_neg_logprob).
+
+    Scale shape: the vocabulary build is one partial-aggregated groupBy at
+    token grain; the corpus-total is a 1-row aggregate cross-joined back
+    (broadcast, not collected); scoring is an equi-join from exploded
+    tokens to the vocab — vocab is Zipf-small relative to the corpus and
+    AQE will broadcast it when it fits. Two token-grain shuffles total,
+    both unavoidable for a corpus-trained LM."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("total_tf"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (-F.log(F.col("tf") / F.col("total_tf"))).alias("neg_lp")
+    )
+    return (
+        toks.join(scored, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(F.avg("neg_lp"), 4).alias("avg_neg_logprob"),
+        )
+    )
+
+
+# Quality-band resolution for select_by_budget: quality is rounded to 4
+# decimals upstream, so floor(q * 1000) buckets docs into <= 1001 bands —
+# a driver-free histogram small enough for a single-partition window.
+BUDGET_BANDS = 1000
+
+
+def select_by_budget(
+    docs: DataFrame, budget_tokens: int, text_col: str = "text"
+) -> DataFrame:
+    """Token-budget data selection: greedily keep the highest-quality docs
+    (quality desc, doc_id asc) until the cumulative token count would
+    exceed `budget_tokens` — the 'best N tokens' selection every
+    fixed-budget training run makes. Returns the kept docs as
+    (doc_id, n_tokens, quality, cum_tokens) where cum_tokens is the
+    GLOBAL running total in greedy order.
+
+    Scale shape: the naive form is one unpartitioned ORDER BY quality — a
+    single-task corpus sort. Instead: quality is banded (floor(q*1000),
+    <= 1001 bands), per-band token totals make a tiny histogram whose
+    cumulative sums run in one trivial window; every doc then gets its
+    band's preceding-total offset broadcast back and only the WITHIN-band
+    running sum needs a window — partitioned by band, so the sort
+    parallelizes across bands instead of serializing the corpus. Band
+    order is consistent with quality order, so the result is exactly the
+    global greedy prefix."""
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    d = docs.select(
+        "doc_id",
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col(text_col)), 4).alias("quality"),
+    ).withColumn("__band", F.floor(F.col("quality") * BUDGET_BANDS).cast("int"))
+    wb = Window.orderBy(F.col("__band").desc())
+    bands = (
+        d.groupBy("__band")
+        .agg(F.sum("n_tokens").alias("__band_tokens"))
+        .withColumn(
+            "__cum_before", F.sum("__band_tokens").over(wb) - F.col("__band_tokens")
+        )
+        .select("__band", "__cum_before")
+    )
+    w_in = Window.partitionBy("__band").orderBy(F.col("quality").desc(), "doc_id")
+    cum = F.col("__cum_before") + F.sum("n_tokens").over(w_in)
+    return (
+        d.join(F.broadcast(bands), "__band")
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "n_tokens", "quality", "cum_tokens")
+    )
+
+
 def curate(
     docs: DataFrame,
     clusters: DataFrame,

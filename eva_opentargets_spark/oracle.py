@@ -804,6 +804,88 @@ FROM d
 WINDOW w AS (PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
+    # Boilerplate scoring (operators/corpus.boilerplate_score twin): word
+    # trigrams built with the same slice recipe as decontaminate, per-doc
+    # fraction of distinct shingles that are corpus-frequent (df >= 3).
+    q["corpus_boilerplate"] = """
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tl FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tl) - 2, 1) + 1),
+           i -> array_to_string(list_slice(tl, i, i + 2), ' ')))) AS s
+  FROM base
+),
+freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 3),
+flagged AS (
+  SELECT doc_id, count(*) AS n_flagged FROM sh JOIN freq USING (s) GROUP BY doc_id
+),
+per AS (
+  SELECT doc_id,
+         len(list_distinct(list_transform(
+           range(1, greatest(len(tl) - 2, 1) + 1),
+           i -> array_to_string(list_slice(tl, i, i + 2), ' '))))::INT AS n_shingles
+  FROM base
+)
+SELECT p.doc_id, p.n_shingles, coalesce(f.n_flagged, 0)::INT AS n_flagged,
+       round(coalesce(f.n_flagged, 0) * 1.0 / greatest(p.n_shingles, 1), 4)
+         AS boilerplate_frac,
+       round(coalesce(f.n_flagged, 0) * 1.0 / greatest(p.n_shingles, 1), 4) >= 0.5
+         AS is_boilerplate
+FROM per p LEFT JOIN flagged f USING (doc_id)"""
+
+    # Source mixing (operators/corpus.mix_sources twin): integer-math
+    # thresholds in millionths, deterministic md5 bucket accept test.
+    q["corpus_mix"] = """
+WITH counts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+quotas AS (
+  SELECT source,
+         least(1000000,
+               floor(40 * p.parts * 1000000 / (10 * n_src)))::BIGINT
+           AS accept_threshold
+  FROM counts
+  JOIN (VALUES ('src0', 5), ('src1', 3), ('src2', 2)) AS p(source, parts)
+    USING (source)
+)
+SELECT doc_id, source, accept_threshold
+FROM documents JOIN quotas USING (source)
+WHERE (('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+      < accept_threshold"""
+
+    # Unigram-LM scoring (operators/corpus.unigram_logprob twin).
+    q["corpus_lm_score"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*)::BIGINT AS tf FROM toks GROUP BY tok),
+tot AS (SELECT sum(tf)::BIGINT AS total_tf FROM vocab),
+scored AS (SELECT tok, -ln(tf::DOUBLE / total_tf) AS neg_lp FROM vocab, tot)
+SELECT doc_id, count(*)::INT AS n_tokens, round(avg(neg_lp), 4) AS avg_neg_logprob
+FROM toks JOIN scored USING (tok) GROUP BY doc_id"""
+
+    # Token-budget selection (operators/corpus.select_by_budget twin): the
+    # oracle states the SPEC directly — one global greedy window — which the
+    # engine's banded scheme must reproduce exactly.
+    q["corpus_budget_select"] = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round(0.5 * least(1.0, len(string_split(lower(text), ' ')) / 20.0)
+           + 0.5 * (1 - len(list_filter(string_split(lower(text), ' '),
+                                        t -> t IN ('the', 'a', 'of', 'and', 'is')))
+                    / greatest(len(string_split(lower(text), ' ')), 1)), 4) AS quality
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, quality,
+         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cum_tokens
+  FROM d
+)
+SELECT doc_id, n_tokens, quality, cum_tokens FROM c WHERE cum_tokens <= 15000"""
+
     q["dedup_exact"] = """
 SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical_doc_id
 FROM (

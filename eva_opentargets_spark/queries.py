@@ -514,6 +514,44 @@ def corpus_pack(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), ctx_len=128, n_shards=8)
 
 
+def corpus_boilerplate(spark, sf_dir):
+    """Duplicate-n-gram-fraction boilerplate scoring: fraction of each
+    doc's distinct word trigrams that appear in >= 3 docs corpus-wide;
+    docs over 50% shared material get flagged. The frequent-shingle table
+    is the only corpus-grain aggregation; shingles build in-row."""
+    from .operators.corpus import boilerplate_score
+
+    return boilerplate_score(_docs(spark, sf_dir), n=3, min_df=3, max_frac=0.5)
+
+
+def corpus_mix(spark, sf_dir):
+    """Source mixing toward a 5:3:2 target over three sources, 40 docs
+    total: per-source quotas become deterministic hash-bucket thresholds
+    (integer math, no RNG, no driver collect); other sources drop out."""
+    from .operators.corpus import mix_sources
+
+    return mix_sources(_docs(spark, sf_dir), {"src0": 5, "src1": 3, "src2": 2}, total=40)
+
+
+def corpus_lm_score(spark, sf_dir):
+    """Unigram-LM perplexity proxy: token probabilities trained on the
+    corpus itself, every doc scored by mean negative log-likelihood —
+    the both-tails quality filter (too probable = boilerplate, too
+    improbable = noise)."""
+    from .operators.corpus import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def corpus_budget_select(spark, sf_dir):
+    """Token-budget selection: greedy best-quality-first prefix until the
+    15k-token budget is spent, computed with the banded (parallel) window
+    scheme rather than one global corpus sort."""
+    from .operators.corpus import select_by_budget
+
+    return select_by_budget(_docs(spark, sf_dir), budget_tokens=15_000)
+
+
 def corpus_vocabulary(spark, sf_dir):
     """Vocabulary table for tokenizer training: per lowercased token, total
     occurrences (tf) and document frequency (df) — one explode + one
@@ -751,6 +789,10 @@ QUERIES = {
     "corpus_curate": corpus_curate,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_pack": corpus_pack,
+    "corpus_boilerplate": corpus_boilerplate,
+    "corpus_mix": corpus_mix,
+    "corpus_lm_score": corpus_lm_score,
+    "corpus_budget_select": corpus_budget_select,
     "text_repetition": text_repetition,
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,

@@ -135,3 +135,111 @@ def test_curation_funnel_reasons(spark):
         4: "low_quality",
         5: "keep",
     }
+
+
+def test_boilerplate_score_flags_template_heavy_docs(spark):
+    """Docs made of a shared template trigram-block score high; unique
+    docs score 0; counts are over DISTINCT per-doc shingles."""
+    from eva_opentargets_spark.operators.corpus import boilerplate_score
+
+    template = "all rights reserved contact us here"
+    rows = [
+        (1, template, "en", "s"),
+        (2, template, "en", "s"),
+        (3, template + " plus some unique trailing words appended", "en", "s"),
+        (4, "a wholly original document with distinct vocabulary entirely", "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.doc_id: r for r in boilerplate_score(docs, n=3, min_df=3, max_frac=0.5).collect()}
+    # template = 6 tokens -> 4 trigrams, each in docs 1,2,3 (df=3 >= min_df)
+    assert out[1].n_shingles == 4 and out[1].n_flagged == 4
+    assert out[1].boilerplate_frac == 1.0 and out[1].is_boilerplate
+    assert out[3].n_flagged == 4 and not out[3].is_boilerplate  # 4 of 10 shingles
+    assert out[4].n_flagged == 0 and out[4].boilerplate_frac == 0.0
+
+
+def test_mix_sources_hits_quotas_and_is_deterministic(spark):
+    from eva_opentargets_spark.operators.corpus import MIX_BUCKETS, mix_sources
+
+    rows = [(i, f"document body {i}", "en", f"src{i % 4}") for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = mix_sources(docs, {"src0": 3, "src1": 1}, total=400)
+    rows1 = {(r.doc_id, r.source) for r in out.collect()}
+    rows2 = {(r.doc_id, r.source) for r in mix_sources(docs.repartition(13), {"src0": 3, "src1": 1}, total=400).collect()}
+    assert rows1 == rows2  # deterministic under any partitioning
+    by_src = {}
+    for _, s in rows1:
+        by_src[s] = by_src.get(s, 0) + 1
+    assert set(by_src) == {"src0", "src1"}  # unweighted sources dropped
+    # quotas: src0 -> 300 of 1000, src1 -> 100 of 1000; hash sampling is
+    # approximate around the threshold, so allow a ~20% band
+    assert 240 <= by_src["src0"] <= 360
+    assert 70 <= by_src["src1"] <= 130
+    thr = {r.source: r.accept_threshold for r in out.select("source", "accept_threshold").distinct().collect()}
+    assert thr == {"src0": 300000, "src1": 100000}
+    assert thr["src0"] < MIX_BUCKETS
+
+
+def test_mix_sources_caps_at_keep_everything(spark):
+    """A source smaller than its quota keeps all docs (threshold capped)."""
+    from eva_opentargets_spark.operators.corpus import mix_sources
+
+    rows = [(i, f"body {i}", "en", "tiny" if i < 5 else "big") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = mix_sources(docs, {"tiny": 1, "big": 1}, total=800).collect()
+    tiny = [r for r in out if r.source == "tiny"]
+    assert len(tiny) == 5 and all(r.accept_threshold == 1000000 for r in tiny)
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    import math
+
+    from eva_opentargets_spark.operators.corpus import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en", "s"), (2, "b c", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    # corpus: a=2, b=2, c=1, total=5
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    lp = {t: -math.log(c / 5) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert out[1].n_tokens == 3
+    assert out[1].avg_neg_logprob == round((2 * lp["a"] + lp["b"]) / 3, 4)
+    assert out[2].avg_neg_logprob == round((lp["b"] + lp["c"]) / 2, 4)
+
+
+def test_select_by_budget_equals_global_greedy(spark):
+    """The banded parallel scheme reproduces the naive global greedy
+    prefix exactly, including the boundary doc."""
+    from pyspark.sql import Window
+
+    from eva_opentargets_spark.functions.text import quality_score, token_count
+    from eva_opentargets_spark.operators.corpus import select_by_budget
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range((i % 29) + 3)) + (" the a of" if i % 3 == 0 else ""), "en", "s")
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    budget = 1500
+    got = {
+        (r.doc_id, r.n_tokens, r.quality, r.cum_tokens)
+        for r in select_by_budget(docs, budget).collect()
+    }
+    naive = (
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            F.round(quality_score(F.col("text")), 4).alias("quality"),
+        )
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(Window.orderBy(F.col("quality").desc(), "doc_id")),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+    want = {(r.doc_id, r.n_tokens, r.quality, r.cum_tokens) for r in naive.collect()}
+    assert got == want and 0 < len(got) < 300
+    # the kept set is a true prefix: max cum <= budget, and adding the next
+    # doc would overflow
+    assert max(c for *_, c in got) <= budget
