@@ -61,6 +61,38 @@ def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def minhash_sig_col(text_col: str = "text", n_hashes: int = N_MINHASHES) -> F.Column:
+    """The in-row MinHash signature as a pure column expression (no plan
+    inspection, so it composes with STREAMING DataFrames too); see
+    minhash_signature_array for the derivation and measurements."""
+    from ..functions.text import _bind_once
+
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+
+    def compute(tt):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(tt, lambda t: F.md5(F.concat(i.cast("string"), F.lit(":"), t)))
+            ),
+        )
+
+    return _bind_once(toks, compute)
+
+
+def band_keys_col(sig_col, n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS) -> F.Column:
+    """LSH band keys from a signature array: md5 of each band's
+    concatenated rows — array<string>[n_bands], positionally indexed by
+    band id. Shared by the batch pair generators and the streaming probe."""
+    rows_per_band = n_hashes // n_bands
+    return F.array(
+        *[
+            F.md5(F.array_join(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), ""))
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_signature_array(
     docs: DataFrame,
     n_hashes: int = N_MINHASHES,
@@ -86,22 +118,28 @@ def minhash_signature_array(
     the repartition short-circuits away. The token array is bound once
     per row (`_bind_once`) so the split+distinct never re-evaluates per
     hash."""
-    from ..functions.text import _bind_once
-
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism, id_col)
-    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), minhash_sig_col(text_col, n_hashes).alias("sig")
+    )
 
-    def compute(tt):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(tt, lambda t: F.md5(F.concat(i.cast("string"), F.lit(":"), t)))
-            ),
-        )
 
-    return docs.select(F.col(id_col).alias("doc_id"), _bind_once(toks, compute).alias("sig"))
+def band_table(
+    docs: DataFrame, n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, band, band_key) — the LSH band table all pair generators
+    join on. In production this is the table materialized (bucketed by
+    band_key) at ingest time; the streaming probe joins new docs' bands
+    against exactly this."""
+    sigs = minhash_signature_array(docs, n_hashes)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(band_keys_col(F.col("sig"), n_hashes, n_bands)).alias(
+            "band", "band_key"
+        ),
+    )
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
@@ -119,19 +157,7 @@ def minhash_candidate_pairs(
     (doc_a < doc_b). The O(n^2) problem becomes a shuffle on band_key —
     which, with the in-row signature computation, is the FIRST shuffle of
     the whole dedup path."""
-    sigs = minhash_signature_array(docs, n_hashes)
-    rows_per_band = n_hashes // n_bands
-    all_bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.array_join(F.slice("sig", b * rows_per_band + 1, rows_per_band), ""))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
+    all_bands = band_table(docs, n_hashes, n_bands)
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     return (
@@ -167,19 +193,7 @@ def incremental_minhash_pairs(
     minhash_candidate_pairs(corpus + new) to pairs touching a new doc —
     the equality is pytest-pinned."""
     all_docs = corpus_docs.unionByName(new_docs)
-    sigs = minhash_signature_array(all_docs, n_hashes)
-    rows_per_band = n_hashes // n_bands
-    all_bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.array_join(F.slice("sig", b * rows_per_band + 1, rows_per_band), ""))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
+    all_bands = band_table(all_docs, n_hashes, n_bands)
     new_ids = new_docs.select("doc_id")
     new_bands = all_bands.join(F.broadcast(new_ids), "doc_id", "inner")
     a, b = new_bands.alias("a"), all_bands.alias("b")

@@ -123,6 +123,50 @@ def stream_dedup_docs(
     return docs.dropDuplicates(["fingerprint"])
 
 
+def stream_near_dup_candidates(
+    spark: SparkSession,
+    input_path: str,
+    corpus_bands: DataFrame,
+    schema: str = DOCUMENTS_SCHEMA,
+    n_hashes: int | None = None,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Streaming near-dup detection at ingest: each arriving document's
+    MinHash band keys are computed IN-ROW (the batch signature recipe as a
+    pure column expression, dedup.minhash_sig_col) and probed against the
+    materialized corpus band table via a stream-static equi-join on
+    (band, band_key). Emits (doc_id, corpus_doc_id) candidate pairs —
+    new-vs-corpus only; new-vs-new twins inside the stream are caught by
+    the fingerprint-exact stream_dedup_docs upstream and the periodic
+    batch incremental_minhash_pairs sweep (which also folds the day's
+    docs into the corpus band table).
+
+    Scale shape: the stream side is one micro-batch of band rows
+    (n_bands per doc, built with zero shuffles); the static side is the
+    band table bucketed by band_key, so the join is the ONLY shuffle and
+    touches micro-batch-sized data. Pair emission is de-duplicated with
+    keyed state bounded by n_bands per emitted pair — not by corpus
+    size."""
+    from ..operators.dedup import N_BANDS, N_MINHASHES, band_keys_col, minhash_sig_col
+
+    nh = n_hashes if n_hashes is not None else N_MINHASHES
+    nb = n_bands if n_bands is not None else N_BANDS
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    probe = stream.select(
+        "doc_id",
+        F.posexplode(band_keys_col(minhash_sig_col("text", nh), nh, nb)).alias(
+            "band", "band_key"
+        ),
+    )
+    return (
+        probe.alias("p")
+        .join(corpus_bands.alias("c"), ["band", "band_key"])
+        .filter(F.col("p.doc_id") != F.col("c.doc_id"))
+        .select(F.col("p.doc_id").alias("doc_id"), F.col("c.doc_id").alias("corpus_doc_id"))
+        .dropDuplicates(["doc_id", "corpus_doc_id"])
+    )
+
+
 def run_available_now(streaming_df: DataFrame, query_name: str, checkpoint_dir: str):
     """Drain all currently-available input, then stop (batch-like semantics,
     streaming machinery — the per-partition resumability of checkpoint.py,

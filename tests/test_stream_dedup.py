@@ -111,3 +111,53 @@ def test_stream_dedup_within_watermark_horizon(spark, tmp_path):
     assert sorted(r.text for r in out3.collect()) == [
         "alpha text", "beta text", "beta text", "gamma text",
     ]
+
+
+def test_stream_near_dup_candidates_matches_batch(spark, tmp_path):
+    """Stream-static band probe finds exactly the new-vs-corpus pairs the
+    batch incremental operator finds (new-vs-new is out of scope for the
+    stream by design), across two micro-batch drains."""
+    from eva_opentargets_spark.operators.dedup import (
+        band_table,
+        incremental_minhash_pairs,
+    )
+    from eva_opentargets_spark.streaming.ingest import stream_near_dup_candidates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus_rows = [
+        (i, base if i % 3 == 0 else f"corpus doc {i} with its own words {i}")
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, SCHEMA)
+    bands = band_table(corpus)
+
+    data = str(tmp_path / "newdocs")
+    ckpt = str(tmp_path / "ckpt_nd")
+    sink = str(tmp_path / "out_nd")
+
+    # batch 1: one near-dup of the corpus template, one novel doc
+    new1 = [(100, base + " iota"), (101, "novel content nothing shared one")]
+    _write(spark, data, new1)
+    sdf = stream_near_dup_candidates(spark, data, bands, schema=SCHEMA)
+    out1 = _drain(spark, sdf, ckpt, sink)
+    got1 = {(r.doc_id, r.corpus_doc_id) for r in out1.collect()}
+    assert got1 and all(d == 100 for d, _ in got1)
+
+    # batch 2 (restarted query, same checkpoint): another template twin
+    new2 = [(102, base), (103, "still novel unrelated text two")]
+    _write(spark, data, new2)
+    out2 = _drain(spark, stream_near_dup_candidates(spark, data, bands, schema=SCHEMA), ckpt, sink)
+    got = {(r.doc_id, r.corpus_doc_id) for r in out2.collect()}
+
+    # batch twin: incremental pairs over the SAME new docs, restricted to
+    # new-vs-corpus (stream scope), normalized to (new, corpus) orientation
+    new_ids = {100, 101, 102, 103}
+    batch_pairs = incremental_minhash_pairs(
+        spark.createDataFrame(new1 + new2, SCHEMA), corpus
+    ).collect()
+    want = {
+        (b.doc_a, b.doc_b) if b.doc_a in new_ids else (b.doc_b, b.doc_a)
+        for b in batch_pairs
+        if (b.doc_a in new_ids) != (b.doc_b in new_ids)  # new-vs-corpus only
+    }
+    assert got == {(n, c) for n, c in want}
