@@ -212,6 +212,61 @@ def incremental_minhash_pairs(
     )
 
 
+# Winnow-pair document-frequency cap: fingerprints present in more than
+# this many docs are corpus boilerplate (shared templates), excluded from
+# pairing for the same quadratic-fanout reason as MAX_TOKEN_DF.
+WINNOW_MAX_DF = 64
+
+
+def winnow_substring_pairs(
+    docs: DataFrame,
+    min_shared: int = 8,
+    max_df: int = WINNOW_MAX_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-overlap candidate pairs via winnowing fingerprints — the
+    PARTIAL-duplicate detector the shingle/MinHash family misses: MinHash
+    estimates whole-document Jaccard, so a long passage copied into an
+    otherwise-different document scores near zero; winnowing guarantees
+    any shared substring of length >= WINNOW_W + k - 1 chars contributes
+    a shared fingerprint (functions/text.winnow_fingerprints), and pairs
+    sharing >= min_shared distinct fingerprints are emitted as
+    (doc_a, doc_b, n_shared). This is the Spark-shaped stand-in for
+    suffix-array exact-substring dedup (Lee et al. 2022): same signal,
+    equi-join mechanics instead of a corpus-wide suffix sort.
+
+    Scale shape: fingerprint sets build in-row (zero shuffles); the df
+    cap drops corpus-frequent fingerprints FIRST (heavy-hitter set is
+    bounded by fingerprint_mass / max_df; the anti-join goes broadcast
+    under AQE when it fits), so the self-equi-join on fingerprint has
+    per-key fanout <= max_df^2 — never a cartesian, same discipline as
+    blocked_jaccard_pairs."""
+    from ..functions.text import winnow_fingerprints
+
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_fingerprints(F.lower(F.col(text_col)))).alias("fp"),
+    )
+    heavy = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fp")
+    )
+    kept = fps.join(heavy, "fp", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def blocked_jaccard_pairs(
     docs: DataFrame,
     block_col: str = "source",

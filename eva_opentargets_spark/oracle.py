@@ -893,6 +893,40 @@ FROM (
   FROM documents
 ) GROUP BY fingerprint"""
 
+    # Winnowing substring-overlap pairs (operators/dedup.
+    # winnow_substring_pairs twin): per-position k-gram polynomial hashes
+    # over lower(text), window-min selection, df-capped fingerprint
+    # self-join counting shared DISTINCT fingerprints.
+    from .functions.text import WINNOW_W
+    from .operators.dedup import WINNOW_MAX_DF
+
+    wsub = f"substr(lower(text), i, {ROLL_K})"
+    whash = (
+        f"(list_sum(list_transform(range(1, len({wsub}) + 1), "
+        f"j -> ascii(substr({wsub}, j, 1))::BIGINT * ({pw_lit}[len({wsub}) - j + 1]))) % {ROLL_M})"
+    )
+    q["dedup_winnow_pairs"] = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(text) - {ROLL_K - 1}, 1) + 1),
+                        i -> {whash}) AS hs
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(hs) >= {WINNOW_W}
+           THEN list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                               s -> list_min(hs[s:s+{WINNOW_W - 1}]))
+           ELSE [list_min(hs)] END) AS fps
+  FROM h
+),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+e2 AS (SELECT doc_id, fp FROM e JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::INT AS n_shared
+FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 8"""
+
     # MinHash signatures: N hash families h_i(tok) = md5(i || ':' || tok),
     # signature component = lexicographic min (uniform over fixed-width hex).
     # Parameters imported from operators.dedup so the two sides cannot drift.

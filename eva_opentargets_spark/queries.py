@@ -632,6 +632,13 @@ def dedup_shingle_jaccard(spark, sf_dir):
     return dedup.blocked_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, shingle=2)
 
 
+def dedup_winnow_pairs(spark, sf_dir):
+    """Partial-overlap (shared-substring) candidate pairs via winnowing
+    fingerprint sets: docs sharing >= 8 distinct window-min rolling
+    hashes, with corpus-frequent fingerprints df-capped out first."""
+    return dedup.winnow_substring_pairs(_docs(spark, sf_dir), min_shared=8)
+
+
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -802,6 +809,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_shingle_jaccard": dedup_shingle_jaccard,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_pairs": dedup_embedding_pairs,

@@ -181,3 +181,80 @@ def test_incremental_pairs_equal_filtered_full_pairs(spark):
     }
     assert inc == full
     assert all(a < b for a, b in inc)
+
+
+def _py_winnow(text, k=8, w=8):
+    """Pure-Python reference of functions/text.winnow_fingerprints."""
+    B, M = 257, 1_000_000_007
+    t = text.lower()
+    if not t:
+        return None
+    if len(t) < k:
+        acc = 0
+        for ch in t:
+            acc = (acc * B + ord(ch)) % M
+        return {acc}
+    hs = []
+    for i in range(len(t) - k + 1):
+        hs.append(sum(ord(t[i + j]) * pow(B, k - 1 - j, M) for j in range(k)) % M)
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[s : s + w]) for s in range(len(hs) - w + 1)}
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from eva_opentargets_spark.functions.text import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",
+        "exactly8",
+        "a bit longer than eight characters",
+        "",
+        "repeated repeated repeated repeated",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = {
+        r.doc_id: (set(r.fps) if r.fps is not None else None)
+        for r in df.select("doc_id", winnow_fingerprints(F.lower(F.col("text"))).alias("fps")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert out[i] == _py_winnow(t), f"doc {i}: {t!r}"
+
+
+def test_winnow_pairs_detect_partial_overlap_minhash_misses(spark):
+    """A 60-char passage pasted into an otherwise-different document:
+    winnowing guarantees shared fingerprints (substring >= w+k-1 chars),
+    while whole-doc MinHash similarity is low."""
+    from eva_opentargets_spark.operators.dedup import winnow_substring_pairs
+
+    passage = "this exact passage was copied verbatim between the documents"
+    rows = [
+        (1, passage + " and doc one continues about spark partitioning strategies"),
+        (2, "doc two opens with other material entirely then quotes " + passage),
+        (3, "a third document sharing absolutely nothing with its peers whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_substring_pairs(docs, min_shared=2, max_df=64).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in got)  # doc 3 pairs with nobody
+
+
+def test_winnow_pairs_df_cap_drops_template_fingerprints(spark):
+    """Fingerprints present in > max_df docs are boilerplate and never
+    generate pairs: a template shared by many docs stops pairing them
+    once the cap is below the template's df."""
+    from eva_opentargets_spark.operators.dedup import winnow_substring_pairs
+
+    template = "identical boilerplate header shared by every single document here"
+    docs = spark.createDataFrame(
+        [(i, template) for i in range(10)], "doc_id long, text string"
+    )
+    uncapped = winnow_substring_pairs(docs, min_shared=1, max_df=64).count()
+    capped = winnow_substring_pairs(docs, min_shared=1, max_df=5).count()
+    assert uncapped == 45 and capped == 0
