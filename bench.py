@@ -42,6 +42,8 @@ HEADLINE = [
     "corpus_curate",  # round 4: full dedup+quality funnel (pairs->clusters->gate)
     "ann_ivf_kmeans_topk",  # round 4: IVF over the Lloyd-refined quantizer
     "corpus_bpe_merges",  # round 5: BPE merge training (driver loop, vocab-grain rounds)
+    "dedup_winnow_pairs",  # round 5: winnowing substring-overlap pairs
+    "corpus_lm_score",  # round 5: unigram-LM scoring (two token-grain shuffles)
     "events_sessionize",
     "tpch_q1_pricing",
 ]

@@ -1,0 +1,128 @@
+"""Multinomial Naive Bayes text classification as pure DataFrame
+aggregation (engine-new; the quality/domain-classifier role that
+fasttext-style linear models play in CCNet/RefinedWeb-style curation
+pipelines, in the closed form Spark can train WITHOUT an iterative
+optimizer).
+
+Training is two aggregations (class priors, per-(class, token) counts
+with Laplace smoothing); scoring is one token-grain equi-join plus a
+doc-grain sum. Every number is a deterministic function of counts, so
+the whole train+score path is SQL-expressible and oracle-checkable —
+unlike SGD-trained weights, which depend on iteration order.
+
+Scale shape: training shuffles once at (class, token) grain with map-side
+partial aggregation; the model (priors + likelihood table, ~|vocab| x
+|classes| rows) is the JOIN side of scoring — Zipf-small relative to the
+corpus, broadcast under AQE when it fits. Scoring never shuffles the
+corpus except the final doc-grain sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB: returns (priors, likelihoods).
+
+    priors:      (label, log_prior, log_oov) — log_oov is the smoothed
+                 log-likelihood of a token never seen with this class.
+    likelihoods: (label, tok, log_lik) with Laplace smoothing
+                 ln((c + alpha) / (T_label + alpha * V))."""
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    tok_counts = toks.groupBy("label", "tok").agg(F.count("*").alias("c"))
+    class_tokens = tok_counts.groupBy("label").agg(F.sum("c").alias("t_label"))
+    vocab_size = tok_counts.select("tok").distinct().agg(
+        F.count("*").alias("v")
+    )
+    class_docs = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_docs")
+    )
+    total = class_docs.agg(F.sum("n_docs").alias("n_total"))
+    denom = F.col("t_label") + F.lit(alpha) * F.col("v")
+    priors = (
+        class_docs.crossJoin(F.broadcast(total))
+        .join(class_tokens, "label")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.col("n_total")).alias("log_prior"),
+            F.log(F.lit(alpha) / denom).alias("log_oov"),
+        )
+    )
+    likelihoods = (
+        tok_counts.join(class_tokens, "label")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "label",
+            "tok",
+            F.log((F.col("c") + F.lit(alpha)) / denom).alias("log_lik"),
+        )
+    )
+    return priors, likelihoods
+
+
+def nb_score(
+    docs: DataFrame,
+    priors: DataFrame,
+    likelihoods: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every doc against every class: (doc_id, label, score) where
+    score = log_prior + sum over doc tokens of log_lik (log_oov for
+    tokens the class never saw), rounded to 4 decimals — the rounding is
+    the cross-engine determinism boundary, as in unigram_logprob.
+
+    Tokens are paired with EVERY class first (a broadcast of the tiny
+    class list), then left-joined to the likelihood table so unseen
+    (class, token) pairs fall back to that class's OOV mass — the
+    standard multinomial NB treatment of out-of-vocabulary tokens."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    classes = priors.select("label", "log_prior", "log_oov")
+    scored_toks = (
+        toks.crossJoin(F.broadcast(classes.select("label", "log_oov")))
+        .join(likelihoods, ["label", "tok"], "left")
+        .select(
+            "doc_id",
+            "label",
+            F.coalesce(F.col("log_lik"), F.col("log_oov")).alias("ll"),
+        )
+    )
+    return (
+        scored_toks.groupBy("doc_id", "label")
+        .agg(F.sum("ll").alias("sum_ll"))
+        .join(F.broadcast(classes.select("label", "log_prior")), "label")
+        .select(
+            "doc_id",
+            "label",
+            F.round(F.col("log_prior") + F.col("sum_ll"), 4).alias("score"),
+        )
+    )
+
+
+def nb_predict(scores: DataFrame) -> DataFrame:
+    """(doc_id, predicted) — argmax over the ROUNDED per-class scores,
+    ties broken by label name, so the prediction is a deterministic
+    function of values the oracle hash-verifies."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("label")
+    )
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("label").alias("predicted"))
+    )

@@ -893,6 +893,59 @@ FROM (
   FROM documents
 ) GROUP BY fingerprint"""
 
+    # Multinomial Naive Bayes (operators/classify twin): priors +
+    # Laplace-smoothed likelihoods on the deterministic 50% train split,
+    # log-posterior per (held-out doc, class); prediction is argmax over
+    # the ROUNDED scores with label-name tie-break.
+    nb_scores_sql = """
+WITH split AS (
+  SELECT doc_id, lang, text,
+         (('0x' || substr(md5('nbtrain:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100) < 50
+           AS is_train
+  FROM documents
+),
+toks_tr AS (
+  SELECT lang AS label, unnest(string_split(lower(text), ' ')) AS tok
+  FROM split WHERE is_train
+),
+tc AS (SELECT label, tok, count(*)::BIGINT AS c FROM toks_tr GROUP BY label, tok),
+ct AS (SELECT label, sum(c)::BIGINT AS t_label FROM tc GROUP BY label),
+vs AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM tc),
+cd AS (SELECT lang AS label, count(*)::BIGINT AS n_docs FROM split WHERE is_train GROUP BY lang),
+tot AS (SELECT sum(n_docs)::BIGINT AS n_total FROM cd),
+pri AS (
+  SELECT cd.label,
+         ln(n_docs::DOUBLE / n_total) AS log_prior,
+         ln(1.0 / (t_label + 1.0 * v)) AS log_oov
+  FROM cd CROSS JOIN tot JOIN ct ON cd.label = ct.label CROSS JOIN vs
+),
+lik AS (
+  SELECT tc.label, tok, ln((c + 1.0) / (t_label + 1.0 * v)) AS log_lik
+  FROM tc JOIN ct ON tc.label = ct.label CROSS JOIN vs
+),
+toks_te AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM split WHERE NOT is_train
+),
+st AS (
+  SELECT t.doc_id, p.label, coalesce(l.log_lik, p.log_oov) AS ll
+  FROM toks_te t
+  CROSS JOIN pri p
+  LEFT JOIN lik l ON l.label = p.label AND l.tok = t.tok
+),
+agg AS (SELECT doc_id, label, sum(ll) AS sum_ll FROM st GROUP BY doc_id, label)
+SELECT a.doc_id, a.label, round(p.log_prior + a.sum_ll, 4) AS score
+FROM agg a JOIN pri p ON a.label = p.label"""
+    q["classify_nb_scores"] = nb_scores_sql
+    q["classify_nb_predict"] = f"""
+WITH scores AS ({nb_scores_sql}),
+ranked AS (
+  SELECT doc_id, label,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+  FROM scores
+)
+SELECT doc_id, label AS predicted FROM ranked WHERE rn = 1"""
+
     # Winnowing substring-overlap pairs (operators/dedup.
     # winnow_substring_pairs twin): per-position k-gram polynomial hashes
     # over lower(text), window-min selection, df-capped fingerprint

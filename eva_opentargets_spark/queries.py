@@ -552,6 +552,37 @@ def corpus_budget_select(spark, sf_dir):
     return select_by_budget(_docs(spark, sf_dir), budget_tokens=15_000)
 
 
+def _nb_split(spark, sf_dir):
+    from .operators.corpus import sample_bucket
+
+    d = _docs(spark, sf_dir)
+    is_train = sample_bucket(F.col("doc_id"), "nbtrain") < 50
+    return d.filter(is_train), d.filter(~is_train)
+
+
+def classify_nb_scores(spark, sf_dir):
+    """Multinomial Naive Bayes train+score as pure aggregation: priors and
+    Laplace-smoothed likelihoods trained on a deterministic 50% hash
+    split, every held-out doc scored against every class (log posterior,
+    rounded) — the closed-form classifier the curation pipeline can
+    oracle-check, unlike SGD weights."""
+    from .operators.classify import nb_score, nb_train
+
+    train, test = _nb_split(spark, sf_dir)
+    priors, likelihoods = nb_train(train, label_col="lang")
+    return nb_score(test, priors, likelihoods)
+
+
+def classify_nb_predict(spark, sf_dir):
+    """Argmax over the rounded NB class scores (ties by label name):
+    (doc_id, predicted) for every held-out doc."""
+    from .operators.classify import nb_predict, nb_score, nb_train
+
+    train, test = _nb_split(spark, sf_dir)
+    priors, likelihoods = nb_train(train, label_col="lang")
+    return nb_predict(nb_score(test, priors, likelihoods))
+
+
 def corpus_vocabulary(spark, sf_dir):
     """Vocabulary table for tokenizer training: per lowercased token, total
     occurrences (tf) and document frequency (df) — one explode + one
@@ -800,6 +831,8 @@ QUERIES = {
     "corpus_mix": corpus_mix,
     "corpus_lm_score": corpus_lm_score,
     "corpus_budget_select": corpus_budget_select,
+    "classify_nb_scores": classify_nb_scores,
+    "classify_nb_predict": classify_nb_predict,
     "text_repetition": text_repetition,
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
