@@ -1536,6 +1536,19 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2"""
 
+    # Backward as-of join (operators/events.asof_join twin): DuckDB's
+    # native ASOF LEFT JOIN states the spec; the engine's union-window
+    # form must reproduce it, inclusive ties and no-match nulls included.
+    q["events_asof"] = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       p.value AS purchase_value,
+       v.value AS view_value,
+       v.event_id AS view_event_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"""
+
     # Gap-based sessionization (30-minute inactivity gap).
     # NB: floor(epoch(...)) matches Spark's unix_timestamp() truncation of
     # fractional-second timestamps (DuckDB's epoch() is fractional and a

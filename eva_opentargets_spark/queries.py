@@ -766,6 +766,26 @@ def events_sessionize(spark, sf_dir):
     return events.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def events_asof(spark, sf_dir):
+    """Point-in-time join: every purchase annotated with the latest view
+    at-or-before it per user (value + event id), via the union-window
+    as-of form — one shuffle + one sort, never a range join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = events.asof_join(
+        purchases, views, on="user_id", ts_col="ts", value_cols=["value", "event_id"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.col("value").alias("purchase_value"),
+        F.col("value_asof").alias("view_value"),
+        F.col("event_id_asof").alias("view_event_id"),
+    )
+
+
 def tpch_q1_pricing(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -855,6 +875,7 @@ QUERIES = {
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_asof": events_asof,
     "tpch_q1_pricing": tpch_q1_pricing,
     "orders_by_nation": orders_by_nation,
 }
