@@ -159,6 +159,57 @@ def pack_sequences(
     )
 
 
+def stratified_sample_k(
+    docs: DataFrame,
+    strata_col: str = "source",
+    k: int = 10,
+    salt: str = "strat",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY k docs per stratum (or all of a smaller stratum),
+    deterministically: rank within each stratum by the md5 of
+    '<salt>:<id>' (content-defined, so the sample is identical on any
+    cluster and any partitioning — hash_sample's discipline applied to
+    quota sampling, where rate-based thresholds only hit quotas in
+    expectation). Returns (doc_id, strata, sample_rank).
+
+    Scale shape: one shuffle on the stratum key; the rank window is
+    per-stratum so the sort parallelizes across strata — never a global
+    order. A skewed giant stratum is the one case to watch: its sort is
+    single-partition, the classic remedy being a two-level
+    pre-truncation (rank within (stratum, salt-bucket), keep k per
+    bucket, re-rank the k*buckets survivors)."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(order, id_col)
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(id_col, F.col(strata_col).alias("strata"), "sample_rank")
+    )
+
+
+def length_quantiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source token-length distribution: exact interpolated quantiles
+    (p25/p50/p75/p95) — the profiling a curator reads to set length
+    filters per source. EXACT percentile (not approx_percentile) so the
+    DuckDB twin matches bit-for-bit; one groupBy, the per-group sort is
+    stratum-local. At 100 TB swap in approx_percentile and accept the
+    epsilon — the operator contract (schema, grouping) is unchanged."""
+    from ..functions.text import token_count
+
+    n = token_count(F.col(text_col))
+    pcts = F.percentile(n, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(pcts[0], 4).alias("p25"),
+        F.round(pcts[1], 4).alias("p50"),
+        F.round(pcts[2], 4).alias("p75"),
+        F.round(pcts[3], 4).alias("p95"),
+    )
+
+
 def boilerplate_score(
     docs: DataFrame,
     n: int = 5,

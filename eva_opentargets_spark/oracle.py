@@ -893,6 +893,29 @@ FROM (
   FROM documents
 ) GROUP BY fingerprint"""
 
+    # Exact-quota stratified sampling (operators/corpus.stratified_sample_k
+    # twin): per-stratum rank in content-hash order.
+    q["corpus_stratified_k"] = """
+SELECT doc_id, strata, sample_rank FROM (
+  SELECT doc_id, source AS strata,
+         (row_number() OVER (PARTITION BY source
+                             ORDER BY md5('strat:' || doc_id::VARCHAR), doc_id))::INT
+           AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5"""
+
+    # Per-source token-length quantiles (operators/corpus.length_quantiles
+    # twin): quantile_cont uses the same linear interpolation as Spark's
+    # exact percentile.
+    q["corpus_length_quantiles"] = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(quantile_cont(len(string_split(text, ' ')), 0.25), 4) AS p25,
+       round(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS p50,
+       round(quantile_cont(len(string_split(text, ' ')), 0.75), 4) AS p75,
+       round(quantile_cont(len(string_split(text, ' ')), 0.95), 4) AS p95
+FROM documents GROUP BY source"""
+
     # Multinomial Naive Bayes (operators/classify twin): priors +
     # Laplace-smoothed likelihoods on the deterministic 50% train split,
     # log-posterior per (held-out doc, class); prediction is argmax over

@@ -552,6 +552,23 @@ def corpus_budget_select(spark, sf_dir):
     return select_by_budget(_docs(spark, sf_dir), budget_tokens=15_000)
 
 
+def corpus_stratified_k(spark, sf_dir):
+    """Exact-quota stratified sample: deterministically the 'first' 5 docs
+    per source in content-hash order — per-stratum windows, no global
+    sort, identical on any cluster."""
+    from .operators.corpus import stratified_sample_k
+
+    return stratified_sample_k(_docs(spark, sf_dir), strata_col="source", k=5)
+
+
+def corpus_length_quantiles(spark, sf_dir):
+    """Per-source token-length quantiles (exact interpolated p25/50/75/95)
+    — the length-filter profiling stage."""
+    from .operators.corpus import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
 def _nb_split(spark, sf_dir):
     from .operators.corpus import sample_bucket
 
@@ -853,6 +870,8 @@ QUERIES = {
     "corpus_budget_select": corpus_budget_select,
     "classify_nb_scores": classify_nb_scores,
     "classify_nb_predict": classify_nb_predict,
+    "corpus_stratified_k": corpus_stratified_k,
+    "corpus_length_quantiles": corpus_length_quantiles,
     "text_repetition": text_repetition,
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,

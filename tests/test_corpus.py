@@ -243,3 +243,41 @@ def test_select_by_budget_equals_global_greedy(spark):
     # the kept set is a true prefix: max cum <= budget, and adding the next
     # doc would overflow
     assert max(c for *_, c in got) <= budget
+
+
+def test_stratified_sample_k_exact_quota_and_deterministic(spark):
+    from eva_opentargets_spark.operators.corpus import stratified_sample_k
+
+    rows = [(i, f"body {i}", "en", "big" if i < 90 else "tiny") for i in range(93)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = stratified_sample_k(docs, k=5)
+    got = {(r.doc_id, r.strata, r.sample_rank) for r in out.collect()}
+    # exact 5 from the big stratum, ALL 3 of the tiny one
+    assert sum(1 for _, s, _ in got if s == "big") == 5
+    assert sum(1 for _, s, _ in got if s == "tiny") == 3
+    again = {
+        (r.doc_id, r.strata, r.sample_rank)
+        for r in stratified_sample_k(docs.repartition(11), k=5).collect()
+    }
+    assert got == again  # partitioning-independent
+
+
+def test_length_quantiles_match_numpy(spark):
+    import numpy as np
+
+    from eva_opentargets_spark.operators.corpus import length_quantiles
+
+    lengths = {"s0": [3, 5, 8, 13, 21, 34], "s1": [2, 2, 9]}
+    rows, i = [], 0
+    for src, ls in lengths.items():
+        for n in ls:
+            rows.append((i, " ".join(["w"] * n), "en", src))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.source: r for r in length_quantiles(docs).collect()}
+    for src, ls in lengths.items():
+        want = np.percentile(ls, [25, 50, 75, 95])  # linear interpolation
+        assert (out[src].p25, out[src].p50, out[src].p75, out[src].p95) == tuple(
+            round(float(x), 4) for x in want
+        )
+        assert out[src].n_docs == len(ls)
