@@ -893,6 +893,55 @@ FROM (
   FROM documents
 ) GROUP BY fingerprint"""
 
+    # TextRank (operators/graph twin): weighted PageRank over the
+    # undirected bigram graph, 3 rounds unrolled — same discipline as the
+    # kmeans/BPE unrolled-CTE oracles. Damping literals are generated from
+    # the same Python doubles the engine uses (1.0 - 0.85 is NOT the
+    # double nearest 0.15).
+    _pr_d = 0.85
+    _pr_rounds = 3
+    pr_ctes = [
+        """tl0 AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS tl
+  FROM documents
+),
+bgd AS (
+  SELECT tl[i] AS src, tl[i + 1] AS dst
+  FROM (SELECT tl, unnest(range(1, len(tl))) AS i FROM tl0 WHERE len(tl) > 1)
+),
+sym AS (SELECT src, dst FROM bgd UNION ALL SELECT dst AS src, src AS dst FROM bgd),
+edges AS (SELECT src, dst, count(*)::DOUBLE AS weight FROM sym GROUP BY src, dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outw AS (SELECT src, sum(weight) AS outw FROM edges GROUP BY src),
+ne AS (SELECT e.src, e.dst, e.weight / o.outw AS share
+       FROM edges e JOIN outw o ON e.src = o.src),
+p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for r in range(1, _pr_rounds + 1):
+        pr_ctes.append(
+            f"""c{r} AS (
+  SELECT ne.dst AS node, sum(ne.share * p.pr) AS contrib
+  FROM ne JOIN p{r - 1} p ON ne.src = p.node GROUP BY ne.dst
+),
+d{r} AS (
+  SELECT coalesce(sum(pr), 0.0) AS dmass FROM p{r - 1}
+  WHERE node NOT IN (SELECT src FROM outw)
+),
+p{r} AS (
+  SELECT nodes.node,
+         {1.0 - _pr_d!r} / n + {_pr_d!r} * (coalesce(c.contrib, 0.0) + d.dmass / n)
+           AS pr
+  FROM nodes CROSS JOIN nn CROSS JOIN d{r} d
+  LEFT JOIN c{r} c ON nodes.node = c.node
+)"""
+        )
+    q["corpus_textrank"] = (
+        "WITH "
+        + ",\n".join(pr_ctes)
+        + f"\nSELECT node, round(pr, 6) AS rank FROM p{_pr_rounds}"
+    )
+
     # Exact-quota stratified sampling (operators/corpus.stratified_sample_k
     # twin): per-stratum rank in content-hash order.
     q["corpus_stratified_k"] = """

@@ -552,6 +552,16 @@ def corpus_budget_select(spark, sf_dir):
     return select_by_budget(_docs(spark, sf_dir), budget_tokens=15_000)
 
 
+def corpus_textrank(spark, sf_dir):
+    """TextRank keyword scoring: 3 rounds of weighted PageRank over the
+    undirected word-adjacency graph, unrolled into one declarative DAG —
+    edge counting is the only corpus-grain stage; the iteration runs at
+    vocab grain."""
+    from .operators.graph import textrank
+
+    return textrank(_docs(spark, sf_dir), n_iter=3, damping=0.85)
+
+
 def corpus_stratified_k(spark, sf_dir):
     """Exact-quota stratified sample: deterministically the 'first' 5 docs
     per source in content-hash order — per-stratum windows, no global
@@ -872,6 +882,7 @@ QUERIES = {
     "classify_nb_predict": classify_nb_predict,
     "corpus_stratified_k": corpus_stratified_k,
     "corpus_length_quantiles": corpus_length_quantiles,
+    "corpus_textrank": corpus_textrank,
     "text_repetition": text_repetition,
     "corpus_bpe_merges": corpus_bpe_merges,
     "corpus_bpe_tokenize": corpus_bpe_tokenize,
