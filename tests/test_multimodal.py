@@ -242,3 +242,89 @@ def test_png_palette_still_not_implemented():
            + chunk(b"IDAT", zlib.compress(b"\x00" * 6)) + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         _png_features(png)
+
+
+def _ppm(w, h, pixels):
+    """pixels: list of (r,g,b) row-major."""
+    return b"P6\n%d %d\n255\n" % (w, h) + b"".join(bytes(p) for p in pixels)
+
+
+def test_resize_nearest_exact_pixels(spark):
+    """4x4 -> 2x2 nearest-neighbor picks pixels (0,0),(0,2),(2,0),(2,2)."""
+    from eva_opentargets_spark.operators.multimodal import resize_nearest
+
+    pixels = [(16 * y + x, 0, 0) for y in range(4) for x in range(4)]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_ppm(4, 4, pixels)), "image/x-ppm", 4, 4, None)],
+        MEDIA,
+    )
+    out = resize_nearest(media, 2, 2).collect()[0]
+    assert (out.width, out.height) == (2, 2)
+    body = bytes(out.content)
+    assert body.startswith(b"P6\n2 2\n255\n")
+    raster = body[len(b"P6\n2 2\n255\n"):]
+    reds = [raster[i] for i in range(0, 12, 3)]
+    assert reds == [0, 2, 32, 34]  # source pixels (0,0) (0,2) (2,0) (2,2)
+
+
+def test_resize_nearest_png_gray_expands_to_rgb(spark):
+    """A 2x2 gray PNG resizes to a 1x1 RGB PPM whose channels replicate
+    the selected gray value."""
+    import struct
+    import zlib
+
+    from eva_opentargets_spark.operators.multimodal import resize_nearest
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray
+    raw = bytes([0, 10, 20, 0, 30, 40])  # two filter-0 scanlines
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(png), "image/png", 2, 2, None)], MEDIA
+    )
+    out = resize_nearest(media, 1, 1).collect()[0]
+    raster = bytes(out.content)[len(b"P6\n1 1\n255\n"):]
+    assert list(raster) == [10, 10, 10]  # top-left gray, replicated to RGB
+
+
+def test_sample_frames_every_kth(spark):
+    """A 5-frame concatenated-PPM stream sampled every 2 frames yields
+    frames 0, 2, 4 with per-frame features."""
+    from eva_opentargets_spark.operators.multimodal import sample_frames
+
+    frames = b"".join(
+        _ppm(4, 2, [(v, v, v)] * 8) for v in (10, 60, 110, 160, 210)
+    )
+    media = spark.createDataFrame(
+        [(3, "video", bytearray(frames), "video/x-ppm-stream", 4, 2, 5)], MEDIA
+    )
+    out = sorted(
+        (r.frame_idx, round(r.feature[0], 4)) for r in sample_frames(media, every_k=2).collect()
+    )
+    assert [i for i, _ in out] == [0, 2, 4]
+    assert [v for _, v in out] == [round(10 / 255, 4), round(110 / 255, 4), round(210 / 255, 4)]
+
+
+def test_sample_frames_truncated_stream_is_honest(spark):
+    from eva_opentargets_spark.operators.multimodal import sample_frames
+
+    bad = _ppm(2, 2, [(1, 1, 1)] * 4)[:-3]  # truncated raster
+    media = spark.createDataFrame(
+        [(4, "video", bytearray(bad), "video/x-ppm-stream", 2, 2, 1)], MEDIA
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="truncated"):
+        sample_frames(media, every_k=1).collect()
