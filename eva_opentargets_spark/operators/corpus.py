@@ -398,6 +398,59 @@ def select_by_budget(
     )
 
 
+def pack_manifest(
+    docs: DataFrame,
+    ctx_len: int = 128,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """The materialized half of pack_sequences: the (doc slice -> training
+    sequence) manifest a shard writer consumes. Each doc fans out to one
+    row per ctx_len window it touches:
+      (shard, seq_idx, doc_id, doc_offset, seq_offset, slice_len)
+    meaning tokens [doc_offset, doc_offset + slice_len) of the doc land in
+    sequence seq_idx at position seq_offset. Within any (shard, seq_idx),
+    slices tile the window exactly (sum slice_len = ctx_len except the
+    shard tail) — the invariant the writer and the resume logic depend on.
+
+    Scale shape: same sharded running sum as pack_sequences (one window
+    per shard), then a per-doc explode of ceil(n_tokens / ctx_len) + 1
+    rows — pure integer math, no extra shuffle beyond the placement
+    window."""
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    d = docs.select(
+        "doc_id",
+        sample_bucket(F.col("doc_id"), "pack", n_shards).cast("int").alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    d = d.withColumn("start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    first_seq = F.floor(F.col("start") / ctx_len)
+    last_seq = F.floor((F.col("start") + F.col("n_tokens") - 1) / ctx_len)
+    exploded = d.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "shard",
+        "start",
+        "n_tokens",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_idx"),
+    )
+    seg_start = F.greatest(F.col("start"), F.col("seq_idx") * ctx_len)
+    seg_end = F.least(
+        F.col("start") + F.col("n_tokens"), (F.col("seq_idx") + 1) * ctx_len
+    )
+    return exploded.select(
+        "shard",
+        F.col("seq_idx").cast("int").alias("seq_idx"),
+        "doc_id",
+        (seg_start - F.col("start")).cast("int").alias("doc_offset"),
+        (seg_start - F.col("seq_idx") * ctx_len).cast("int").alias("seq_offset"),
+        (seg_end - seg_start).cast("int").alias("slice_len"),
+    )
+
+
 def curate(
     docs: DataFrame,
     clusters: DataFrame,

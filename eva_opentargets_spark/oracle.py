@@ -726,6 +726,22 @@ SELECT tok, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
 FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
 GROUP BY tok"""
 
+    # Zipf coverage curve (queries.corpus_vocab_coverage twin).
+    q["corpus_vocab_coverage"] = """
+WITH vocab AS (
+  SELECT tok, count(*)::BIGINT AS tf
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT tok, tf, row_number() OVER (ORDER BY tf DESC, tok) AS rank FROM vocab
+),
+ks AS (SELECT unnest([8, 16, 32]) AS k)
+SELECT k,
+       round(sum(CASE WHEN rank <= k THEN tf END) * 1.0 / sum(tf), 4) AS coverage,
+       max(CASE WHEN rank <= k THEN rank END)::INT AS vocab_used
+FROM ranked CROSS JOIN ks GROUP BY k"""
+
     # Gopher-style repetition stats (functions/text.repetition_stats twin):
     # counts via unnest + groupBy here where Spark folds in-row — same math.
     q["text_repetition"] = """
@@ -885,6 +901,36 @@ c AS (
   FROM d
 )
 SELECT doc_id, n_tokens, quality, cum_tokens FROM c WHERE cum_tokens <= 15000"""
+
+    # Packing manifest (operators/corpus.pack_manifest twin): same sharded
+    # running sum as corpus_pack, then one row per touched 128-token window
+    # via unnest(range(first_seq, last_seq + 1)) — all integer math.
+    q["corpus_pack_manifest"] = """
+WITH d AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8))::INT
+           AS shard,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens)::BIGINT AS start
+  FROM d
+),
+exploded AS (
+  SELECT doc_id, shard, start, n_tokens,
+         unnest(range(start // 128, (start + n_tokens - 1) // 128 + 1)) AS seq_idx
+  FROM placed WHERE n_tokens > 0
+)
+SELECT shard, seq_idx::INT AS seq_idx, doc_id,
+       (greatest(start, seq_idx * 128) - start)::INT AS doc_offset,
+       (greatest(start, seq_idx * 128) - seq_idx * 128)::INT AS seq_offset,
+       (least(start + n_tokens, (seq_idx + 1) * 128)
+          - greatest(start, seq_idx * 128))::INT AS slice_len
+FROM exploded"""
 
     q["dedup_exact"] = """
 SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical_doc_id

@@ -514,6 +514,16 @@ def corpus_pack(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), ctx_len=128, n_shards=8)
 
 
+def corpus_pack_manifest(spark, sf_dir):
+    """The doc-slice -> training-sequence manifest (the writer's input):
+    every 128-token window each doc touches, with in-doc and in-sequence
+    offsets — integer math over the same sharded placement as
+    corpus_pack."""
+    from .operators.corpus import pack_manifest
+
+    return pack_manifest(_docs(spark, sf_dir), ctx_len=128, n_shards=8)
+
+
 def corpus_boilerplate(spark, sf_dir):
     """Duplicate-n-gram-fraction boilerplate scoring: fraction of each
     doc's distinct word trigrams that appear in >= 3 docs corpus-wide;
@@ -620,6 +630,38 @@ def corpus_vocabulary(spark, sf_dir):
     )
     return toks.groupBy("tok").agg(
         F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+
+
+def corpus_vocab_coverage(spark, sf_dir):
+    """Zipf coverage curve for tokenizer budgeting: for each candidate
+    vocab size k, the fraction of all token OCCURRENCES covered by the k
+    most frequent types (ties broken by token text). Corpus-grain work is
+    the one vocabulary groupBy; the ranking window runs at Zipf-small
+    vocab grain."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    ranked = vocab.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("tf").desc(), "tok"))
+    )
+    ks = spark.createDataFrame([(8,), (16,), (32,)], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rank") <= F.col("k"), F.col("tf"))) / F.sum("tf"), 4
+            ).alias("coverage"),
+            F.max(F.when(F.col("rank") <= F.col("k"), F.col("rank")))
+            .cast("int")
+            .alias("vocab_used"),
+        )
     )
 
 
@@ -871,9 +913,11 @@ QUERIES = {
     "corpus_stats": corpus_stats,
     "text_redact": text_redact,
     "corpus_vocabulary": corpus_vocabulary,
+    "corpus_vocab_coverage": corpus_vocab_coverage,
     "corpus_curate": corpus_curate,
     "corpus_decontaminate": corpus_decontaminate,
     "corpus_pack": corpus_pack,
+    "corpus_pack_manifest": corpus_pack_manifest,
     "corpus_boilerplate": corpus_boilerplate,
     "corpus_mix": corpus_mix,
     "corpus_lm_score": corpus_lm_score,

@@ -281,3 +281,56 @@ def test_length_quantiles_match_numpy(spark):
             round(float(x), 4) for x in want
         )
         assert out[src].n_docs == len(ls)
+
+
+def test_pack_manifest_tiles_and_matches_placement(spark):
+    """Slices tile each window exactly, cover each doc exactly, and the
+    first slice of every doc agrees with pack_sequences' placement."""
+    from eva_opentargets_spark.operators.corpus import pack_manifest, pack_sequences
+
+    rows = [
+        (0, " ".join(["w"] * 4), "en", "s"),
+        (1, " ".join(["w"] * 9), "en", "s"),
+        (2, " ".join(["w"] * 12), "en", "s"),
+        (3, " ".join(["w"] * 5), "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    man = pack_manifest(docs, ctx_len=10, n_shards=1).collect()
+    got = {(r.doc_id, r.seq_idx): (r.doc_offset, r.seq_offset, r.slice_len) for r in man}
+    # starts: 0, 4, 13, 25 (doc_id order within the single shard)
+    assert got == {
+        (0, 0): (0, 0, 4),
+        (1, 0): (0, 4, 6),
+        (1, 1): (6, 0, 3),
+        (2, 1): (0, 3, 7),
+        (2, 2): (7, 0, 5),
+        (3, 2): (0, 5, 5),
+    }
+    # tiling invariant: every full window sums to ctx_len, the tail to less
+    per_seq = {}
+    for r in man:
+        per_seq[r.seq_idx] = per_seq.get(r.seq_idx, 0) + r.slice_len
+    assert per_seq == {0: 10, 1: 10, 2: 10}
+    # per-doc coverage = token count
+    per_doc = {}
+    for r in man:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.slice_len
+    assert per_doc == {0: 4, 1: 9, 2: 12, 3: 5}
+    # first-slice placement agrees with pack_sequences
+    placed = {r.doc_id: (r.seq_idx, r.seq_offset) for r in pack_sequences(docs, ctx_len=10, n_shards=1).collect()}
+    firsts = {d: min((s, r) for (dd, s), (do, r, _l) in got.items() if dd == d and do == 0) for d in per_doc}
+    assert placed == firsts
+
+
+def test_vocab_coverage_curve(spark):
+    """Coverage at k = share of occurrences held by the top-k types."""
+    from eva_opentargets_spark.queries import corpus_vocab_coverage
+    import os, tempfile
+
+    rows = [(1, "a a a a b b c", "en", "s"), (2, "a b d", "en", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.k: (r.coverage, r.vocab_used) for r in corpus_vocab_coverage(spark, td).collect()}
+    # tf: a=5, b=3, c=1, d=1 (10 total); all ks >= vocab size 4 -> full coverage
+    assert out == {8: (1.0, 4), 16: (1.0, 4), 32: (1.0, 4)}
