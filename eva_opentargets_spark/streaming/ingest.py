@@ -167,6 +167,71 @@ def stream_near_dup_candidates(
     )
 
 
+def stream_near_dup_with_update(
+    spark: SparkSession,
+    input_path: str,
+    bands_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    schema: str = DOCUMENTS_SCHEMA,
+):
+    """The foreachBatch completion of stream_near_dup_candidates: each
+    micro-batch's band rows are (1) probed against the band table AS OF
+    the previous batch — emitting new-vs-corpus AND new-vs-earlier-batch
+    pairs — and then (2) APPENDED to the band table, so the corpus side
+    grows with the stream and only same-micro-batch twins are left to the
+    upstream exact-dedup stage. This is the stream-static join pattern
+    generalized to a slowly-growing static side, which plain stream-static
+    joins cannot express (they re-read the static table but a streaming
+    sink can't also be the join source within one plan).
+
+    Exactly-once caveat, stated honestly: foreachBatch gives at-least-once
+    on RETRIED batches — a batch replay re-appends its band rows. The
+    batch id is therefore written WITH the bands, so a compaction (or the
+    periodic batch sweep) can dedup on (doc_id, band, batch_id); pair
+    emission is idempotent downstream of dedup_exact. Returns the started
+    query; drain with availableNow + awaitTermination."""
+    from ..operators.dedup import band_keys_col, minhash_sig_col
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    probe_cols = ("doc_id", "band", "band_key")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        bands = batch_df.select(
+            "doc_id",
+            F.posexplode(band_keys_col(minhash_sig_col("text"))).alias(
+                "band", "band_key"
+            ),
+        )
+        try:
+            corpus = sess.read.parquet(bands_path).select(*probe_cols)
+        except Exception:  # first batch: no band table yet
+            corpus = None
+        if corpus is not None:
+            pairs = (
+                bands.alias("p")
+                .join(corpus.alias("c"), ["band", "band_key"])
+                .filter(F.col("p.doc_id") != F.col("c.doc_id"))
+                .select(
+                    F.col("p.doc_id").alias("doc_id"),
+                    F.col("c.doc_id").alias("corpus_doc_id"),
+                )
+                .distinct()
+            )
+            pairs.write.mode("append").parquet(pairs_path)
+        bands.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            bands_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(streaming_df: DataFrame, query_name: str, checkpoint_dir: str):
     """Drain all currently-available input, then stop (batch-like semantics,
     streaming machinery — the per-partition resumability of checkpoint.py,

@@ -161,3 +161,38 @@ def test_stream_near_dup_candidates_matches_batch(spark, tmp_path):
         if (b.doc_a in new_ids) != (b.doc_b in new_ids)  # new-vs-corpus only
     }
     assert got == {(n, c) for n, c in want}
+
+
+def test_stream_near_dup_with_update_catches_cross_batch_twins(spark, tmp_path):
+    """The foreachBatch variant grows the band table per micro-batch, so a
+    doc in batch 2 pairs with its twin from batch 1 — the case the plain
+    stream-static probe misses by design."""
+    from eva_opentargets_spark.streaming.ingest import stream_near_dup_with_update
+
+    data = str(tmp_path / "docs_fb")
+    bands = str(tmp_path / "bands_fb")
+    pairs = str(tmp_path / "pairs_fb")
+    ckpt = str(tmp_path / "ck_fb")
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+
+    def drain():
+        q = stream_near_dup_with_update(spark, data, bands, pairs, ckpt, schema=SCHEMA)
+        q.awaitTermination()
+
+    # batch 1: two unrelated docs seed the band table; no pairs emitted
+    _write(spark, data, [(1, base), (2, "wholly different content one two")])
+    drain()
+    assert spark.read.parquet(bands).select("doc_id").distinct().count() == 2
+    import os
+    assert not os.path.exists(pairs)  # no corpus existed at batch-1 probe time
+
+    # batch 2: a twin of doc 1 and a fresh doc -> exactly the cross-batch pair
+    _write(spark, data, [(3, base + " iota"), (4, "more novel text here now")])
+    drain()
+    got = {(r.doc_id, r.corpus_doc_id) for r in spark.read.parquet(pairs).collect()}
+    assert (3, 1) in got
+    assert all(d == 3 and c in (1, 2) for d, c in got)
+    # band table grew to all four docs (with batch lineage for compaction)
+    bt = spark.read.parquet(bands)
+    assert bt.select("doc_id").distinct().count() == 4
+    assert set(bt.columns) == {"doc_id", "band", "band_key", "batch_id"}
