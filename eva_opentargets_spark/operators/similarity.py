@@ -392,3 +392,61 @@ def lsh_topk(embeddings: DataFrame, query_filter, k: int = 5, n_planes: int | No
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_r"))
     )
+
+
+def projection_signs(out_dim: int, in_dim: int, salt: str = "proj") -> list[list[float]]:
+    """Deterministic ±1 sign matrix (out_dim x in_dim), derived driver-side
+    from md5 ONCE and inlined into the plan as literals — per-row hashing
+    would cost out_dim*in_dim md5 calls per vector; literals cost zero."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def project_embeddings(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    salt: str = "proj",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed random projection (Johnson-Lindenstrauss / Achlioptas ±1):
+    reduce in_dim-d embeddings to out_dim components, y_i = (1/sqrt(k)) *
+    <v, s_i> with a deterministic ±1 row per component — pairwise
+    distances are preserved in expectation, so downstream ANN runs on a
+    4x-smaller vector at a bounded recall cost. Emits long format
+    (vec_id, comp, value) with values rounded to 6 (the cross-engine
+    boundary).
+
+    Scale shape: entirely in-row column math (zip_with + aggregate over
+    literal sign rows) — zero shuffles, zero UDFs; the 100 TB cost is one
+    narrow map over the embedding table."""
+    import math
+
+    signs = projection_signs(out_dim, in_dim, salt)
+    scale = 1.0 / math.sqrt(out_dim)
+    vec = F.col(vec_col).cast("array<double>")
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(s) for s in row]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale),
+            6,
+        )
+        for row in signs
+    ]
+    return embeddings.select(
+        id_col, F.posexplode(F.array(*comps)).alias("comp", "value")
+    )

@@ -1645,6 +1645,25 @@ FROM flagged a JOIN flagged b
 WHERE a.is_new"""
     )
 
+    # Signed random projection (operators/similarity.project_embeddings
+    # twin): the SAME driver-side ±1 matrix inlined as a literal, so the
+    # two sides cannot drift; scale literal generated from the engine's
+    # own double.
+    import math as _math
+
+    from .operators.similarity import projection_signs as _proj_signs
+
+    _pj = _proj_signs(16, 64)
+    _pscale = 1.0 / _math.sqrt(16)
+    _pj_lit = (
+        "[" + ", ".join("[" + ", ".join(repr(v) for v in row) + "]" for row in _pj) + "]"
+    )
+    q["embed_project"] = f"""
+SELECT vec_id, i::INT AS comp,
+       round(list_dot_product(embedding::DOUBLE[], ({_pj_lit})[i + 1]) * {_pscale!r}, 6)
+         AS value
+FROM embeddings CROSS JOIN (SELECT unnest(range(0, 16)) AS i)"""
+
     # Event-stream tumbling 1-hour aggregation (batch twin of the
     # Structured Streaming job in streaming/ingest.py).
     q["events_hourly"] = """

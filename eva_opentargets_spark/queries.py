@@ -827,6 +827,17 @@ def dedup_embedding_pairs(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.4, dim=64)
 
 
+def embed_project(spark, sf_dir):
+    """Johnson-Lindenstrauss signed random projection 64d -> 16d: in-row
+    dot products against a deterministic literal ±1 matrix — the
+    dimensionality-reduction front of a project-then-ANN pipeline, zero
+    shuffles."""
+    from .operators.similarity import project_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return project_embeddings(emb, out_dim=16, in_dim=64)
+
+
 def events_hourly(spark, sf_dir):
     return events.hourly_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
@@ -947,6 +958,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_kmeans_cells": ann_kmeans_cells,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
+    "embed_project": embed_project,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_asof": events_asof,

@@ -125,3 +125,41 @@ def test_near_dups_auto_config_meets_recall(spark):
     }
     assert truth and found <= truth  # no false positives (exact rescoring)
     assert len(found) / len(truth) >= 0.85  # recall near the 0.95 target
+
+
+def test_project_embeddings_matches_numpy_and_preserves_distance(spark):
+    """Components equal the numpy dot products exactly (at the rounding
+    boundary); pairwise distances are preserved within JL tolerance on
+    average."""
+    import math
+
+    import numpy as np
+
+    from eva_opentargets_spark.operators.similarity import (
+        project_embeddings,
+        projection_signs,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 64).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = project_embeddings(df, out_dim=16, in_dim=64).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.vec_id, {})[r.comp] = r.value
+    S = np.array(projection_signs(16, 64))
+    scale = 1.0 / math.sqrt(16)
+    proj = vecs.astype("float64") @ S.T * scale
+    for i in range(20):
+        for c in range(16):
+            assert got[i][c] == round(float(proj[i, c]), 6)
+    # JL: mean pairwise squared-distance ratio close to 1
+    ratios = []
+    P = np.array([[got[i][c] for c in range(16)] for i in range(20)])
+    for i in range(20):
+        for j in range(i + 1, 20):
+            d0 = float(np.sum((vecs[i].astype("float64") - vecs[j].astype("float64")) ** 2))
+            d1 = float(np.sum((P[i] - P[j]) ** 2))
+            ratios.append(d1 / d0)
+    assert 0.8 < sum(ratios) / len(ratios) < 1.2
