@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _sq_dist(a, centroid: list[float]):
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    # one expression parse per centroid, not dim F.lit py4j calls
+    # (similarity.lit_double_array: plan construction is driver latency)
+    from .similarity import lit_double_array
+
+    c = lit_double_array(float(x) for x in centroid)
     return F.aggregate(
         F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

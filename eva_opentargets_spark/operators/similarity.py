@@ -65,11 +65,31 @@ def cosine_topk(
     )
 
 
-def hyperplane_weight(plane: int, dim: int):
-    """Deterministic pseudo-random weight in [-1, 1): derived from
-    md5('<plane>:<dim>') — reproducible on any engine/executor."""
-    h = F.conv(F.substring(F.md5(F.format_string("%d:%d", F.lit(plane), F.lit(dim))), 1, 8), 16, 10)
-    return (h.cast("double") % 2000.0 - 1000.0) / 1000.0
+def lit_double_array(values) -> F.Column:
+    """A literal array<double> built with ONE expression parse instead of
+    len(values) py4j Column constructions. Plan-construction time is real
+    driver latency (bench counts it since round 5): the former
+    per-element form — 64 F.lit calls per plane, or worse, 64 nested
+    md5-expression trees — measured 12-29 s of pure py4j plan building
+    for ann_lsh_topk against ~1 s of execution. String round-trip via
+    CAST('<repr>' AS DOUBLE) is exact: repr is shortest-round-trip and
+    Java's decimal->binary parse is correctly rounded, so the JVM double
+    equals the Python double bit-for-bit."""
+    return F.expr(
+        "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+    )
+
+
+def hyperplane_weight(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1): md5('<plane>:<dim>'),
+    first 8 hex chars as int, % 2000 - 1000, / 1000 — computed DRIVER-side
+    and shipped as a literal (round-5: this was a per-weight JVM md5
+    EXPRESSION TREE, 512 of them per signature build; the Python value is
+    bit-identical — integer % equals fmod for non-negative doubles below
+    2^53 — and the DuckDB oracle, which reproduces the md5 formula in SQL,
+    stays hash-green against it)."""
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return (h % 2000 - 1000) / 1000.0
 
 
 def lsh_signatures(embeddings: DataFrame, n_planes: int = 8,
@@ -90,7 +110,7 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8,
         proj = F.aggregate(
             F.zip_with(
                 F.col("e"),
-                F.array(*[hyperplane_weight(p, d) for d in range(dim)]),
+                lit_double_array([hyperplane_weight(p, d) for d in range(dim)]),
                 lambda x, w: x * w,
             ),
             F.lit(0.0),
@@ -324,7 +344,7 @@ def embedding_near_dups(
     for t in range(n_tables):
         sig = F.lit(0).cast("long")
         for p in range(n_planes):
-            w = F.array(*[F.lit(nd_weight(t, p, d)) for d in range(dim)])
+            w = lit_double_array([nd_weight(t, p, d) for d in range(dim)])
             proj = F.aggregate(
                 F.zip_with(F.col("e"), w, lambda x, wd: x * wd),
                 F.lit(0.0),
@@ -438,7 +458,7 @@ def project_embeddings(
     comps = [
         F.round(
             F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(s) for s in row]), lambda a, b: a * b),
+                F.zip_with(vec, lit_double_array(row), lambda a, b: a * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
