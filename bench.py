@@ -128,7 +128,31 @@ REGRESSION_FACTOR = 1.3  # flag any query >1.3x its recorded best (same sf+cpus)
 # fresh best-entry under "<query>#v<N>" instead of permanently flagging the
 # rework against minima recorded for the superseded algorithm (the round-4
 # pigeonhole-SimHash rework had to hand-edit BENCH_BEST.json for exactly this).
-QUERY_VERSIONS: dict[str, int] = {}
+QUERY_VERSIONS: dict[str, int] = {
+    # v2 = the construction-inclusive timing protocol (round 5): _timed now
+    # counts DataFrame construction — real driver latency (py4j plan
+    # building, driver-loop jobs) the old write-only protocol missed. Every
+    # best recorded BEFORE that change is systematically low by its
+    # construction time, so those queries restart under v2; queries whose
+    # v1 best was already recorded under the new protocol
+    # (corpus_bpe_merges, corpus_lm_score, dedup_winnow_pairs) keep v1.
+    "kg_mentions": 2,
+    "kg_triples": 2,
+    "kg_links": 2,
+    "kg_evidence": 2,
+    "kg_gauntlet": 2,
+    "dedup_minhash_pairs": 2,
+    "dedup_ngram_jaccard": 2,
+    "dedup_simhash_pairs": 2,
+    "ann_cosine_topk": 2,
+    "ann_lsh_topk": 2,
+    "ann_ivf_topk": 2,
+    "dedup_embedding_pairs": 2,
+    "corpus_curate": 2,
+    "ann_ivf_kmeans_topk": 2,
+    "events_sessionize": 2,
+    "tpch_q1_pricing": 2,
+}
 
 
 def _vkey(q: str) -> str:
