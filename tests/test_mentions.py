@@ -151,3 +151,40 @@ def test_regex_extractor_equals_token_loop(spark):
         got = sorted((m["pos"], m["mention_norm"]) for m in r["ms"])
         want = loop_reference(texts[r["i"]])
         assert got == want, (texts[r["i"]], got, want)
+
+
+def test_mention_expr_equals_udf(spark):
+    """The in-row JVM gazetteer expression (round-6 optimization: removes
+    the ArrowEvalPython node from the flagship scan) must be row-for-row
+    identical to the pandas UDF, including ORDER within a turn."""
+    from pyspark.sql import functions as F2
+
+    from eva_opentargets_spark.operators.mentions import make_extract_udf, mention_expr
+
+    vocab = ["spark", "merge", "sort", "sort merge", "hash join", "join", "batch!", "a"]
+    texts = [
+        "sort merge sort merge",
+        "x hash join spark",
+        "spark  merge",
+        "sorting sort sorted",
+        "batch! a spark",
+        "hash join join hash",
+        "",
+        "spark",
+        " spark",
+        "spark ",
+        "merge sort merge",
+        "A SPARK Sort Merge",            # case folding
+        "a a a a",                       # repeated single-char unigram
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    udf = make_extract_udf(vocab)
+    rows = df.select(
+        "i",
+        udf(F2.col("text")).alias("u"),
+        mention_expr(vocab).alias("e"),
+    ).collect()
+    for r in rows:
+        u = [(m["pos"], m["mention_norm"]) for m in r["u"]]
+        e = [(m["pos"], m["mention_norm"]) for m in r["e"]]
+        assert u == e, (texts[r["i"]], u, e)
