@@ -17,7 +17,7 @@ the identical formulas).
 
 from __future__ import annotations
 
-from functools import reduce
+from functools import lru_cache, reduce
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -61,10 +61,13 @@ def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+@lru_cache(maxsize=8)
 def minhash_sig_col(text_col: str = "text", n_hashes: int = N_MINHASHES) -> F.Column:
     """The in-row MinHash signature as a pure column expression (no plan
     inspection, so it composes with STREAMING DataFrames too); see
-    minhash_signature_array for the derivation and measurements."""
+    minhash_signature_array for the derivation and measurements.
+    Memoized: the n_hashes-wide md5 tree is a few hundred py4j calls of
+    pure driver latency, and the expression depends only on its args."""
     from ..functions.text import _bind_once
 
     toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
@@ -118,8 +121,10 @@ def minhash_signature_array(
     the repartition short-circuits away. The token array is bound once
     per row (`_bind_once`) so the split+distinct never re-evaluates per
     hash."""
+    from ..session import estimated_input_splits
+
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
+    if estimated_input_splits(docs) < parallelism:
         docs = docs.repartition(parallelism, id_col)
     return docs.select(
         F.col(id_col).alias("doc_id"), minhash_sig_col(text_col, n_hashes).alias("sig")
@@ -302,8 +307,10 @@ def blocked_jaccard_pairs(
     phrasing stop colliding) — shingles are built in-row from the same
     token array, everything downstream is unchanged.
     """
+    from ..session import estimated_input_splits
+
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
+    if estimated_input_splits(docs) < parallelism:
         docs = docs.repartition(parallelism, "doc_id")
     toks = F.split(F.lower(F.col("text")), " ")
     if shingle > 1:
@@ -349,6 +356,36 @@ def blocked_jaccard_pairs(
     )
 
 
+@lru_cache(maxsize=8)
+def _simhash_col(text_col: str, bits: int) -> F.Column:
+    """The in-row SimHash fingerprint expression (memoized: the bits-wide
+    vote tree is thousands of py4j calls of pure driver plan-construction
+    latency, and depends only on (text_col, bits))."""
+    from ..functions.text import _bind_once
+
+    n_hex = bits // 4
+    hashes = F.transform(
+        F.array_distinct(F.split(F.lower(F.col(text_col)), " ")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, n_hex), 16, 10).cast("long"),
+    )
+
+    def compute(hh):
+        fp = F.lit(0).cast("long")
+        for b in range(bits):
+            vote = F.aggregate(
+                hh,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            fp = fp + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return fp
+
+    return _bind_once(hashes, compute)
+
+
 def simhash(docs: DataFrame, bits: int = 32, form: str = "inrow") -> DataFrame:
     """SimHash fingerprints: per-bit majority vote over DISTINCT-token
     hashes. Token hash = first bits/4 hex chars of md5 (32 bits -> 8 hex;
@@ -373,31 +410,12 @@ def simhash(docs: DataFrame, bits: int = 32, form: str = "inrow") -> DataFrame:
     n_hex = bits // 4
     assert bits <= 60 and bits % 4 == 0, "bits must be a multiple of 4, <= 60"
     if form == "inrow":
-        from ..functions.text import _bind_once
+        from ..session import estimated_input_splits
 
         parallelism = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < parallelism:
+        if estimated_input_splits(docs) < parallelism:
             docs = docs.repartition(parallelism, "doc_id")
-        hashes = F.transform(
-            F.array_distinct(F.split(F.lower(F.col("text")), " ")),
-            lambda t: F.conv(F.substring(F.md5(t), 1, n_hex), 16, 10).cast("long"),
-        )
-
-        def compute(hh):
-            fp = F.lit(0).cast("long")
-            for b in range(bits):
-                vote = F.aggregate(
-                    hh,
-                    F.lit(0),
-                    lambda acc, h: acc
-                    + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-                )
-                fp = fp + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            return fp
-
-        return docs.select("doc_id", _bind_once(hashes, compute).alias("simhash"))
+        return docs.select("doc_id", _simhash_col("text", bits).alias("simhash"))
     toks = doc_tokens(docs).select("doc_id", "tok").distinct()
     hashed = toks.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, n_hex), 16, 10).cast("long")
@@ -504,21 +522,25 @@ def near_dup_clusters(
     (ContextCleaner reclaims it on GC), not leaked into the session."""
     nodes = docs.select(F.col(id_col).alias("doc_id"))
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Self-loop edges (round 6): with (x, x) in the edge set for every node,
+    # min-over-neighborhood INCLUDES the node's own label, so a round is ONE
+    # equi-join + ONE partial-aggregated min — the former second join
+    # (labels left-join nmin + least/coalesce) is gone, and each round
+    # references `labels` exactly once, keeping the unrolled plan LINEAR in
+    # rounds (the two-reference form doubled the labels subtree per round:
+    # 2^rounds copies for Catalyst to analyze). Identical labels by
+    # construction: least(own, min(neighbors)) == min(neighbors + self).
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).unionByName(nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     r = 0
     while True:
         r += 1
-        nmin = (
+        new_labels = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        new_labels = labels.join(nmin, "doc_id", "left").select(
-            "doc_id",
-            F.least("cluster_id", F.coalesce("nmin", "cluster_id")).alias("cluster_id"),
+            .agg(F.min("cluster_id").alias("cluster_id"))
         )
         if until_converged:
             # FULL count (not limit(1)): materializes every partition of the

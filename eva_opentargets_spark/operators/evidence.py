@@ -167,12 +167,15 @@ def with_disease_groups(
     if len(mappings) > literal_threshold:
         dg = _disease_groups_udf(mappings, stoplist)(F.col("ms"))
         return (
-            df.withColumn("__dg", dg)
-            .withColumn("valid_names", F.col("__dg.valid_names"))
-            .withColumn("cohort_phenotypes", F.array_join("__dg.valid_names", ","))
-            .withColumn("disease_groups", F.col("__dg.disease_groups"))
-            .withColumn("n_mapped_terms", F.col("__dg.n_mapped_terms"))
-            .withColumn("has_mapping", F.col("__dg.n_mapped_terms") > 0)
+            df.select("*", dg.alias("__dg"))
+            .select(
+                "*",
+                F.col("__dg.valid_names").alias("valid_names"),
+                F.array_join("__dg.valid_names", ",").alias("cohort_phenotypes"),
+                F.col("__dg.disease_groups").alias("disease_groups"),
+                F.col("__dg.n_mapped_terms").alias("n_mapped_terms"),
+                (F.col("__dg.n_mapped_terms") > 0).alias("has_mapping"),
+            )
             .drop("__dg")
         )
     m = _mapping_map(mappings)
@@ -184,7 +187,7 @@ def with_disease_groups(
             )
         )
     )
-    df = df.withColumn("valid_names", names)
+    df = df.select("*", names.alias("valid_names"))
     terms_of = lambda n: F.coalesce(F.element_at(m, n), _empty_str_array())  # noqa: E731
     terms_all = F.array_sort(
         F.array_distinct(F.flatten(F.transform("valid_names", terms_of)))
@@ -202,12 +205,12 @@ def with_disease_groups(
             n.alias("disease_from_source"), F.lit(None).cast("string").alias("disease_mapped_id")
         ),
     )
-    return (
-        df.withColumn("cohort_phenotypes", F.array_join("valid_names", ","))
-        .withColumn("disease_groups", F.concat(mapped_groups, unmapped_groups))
-        .withColumn("n_mapped_terms", F.size(terms_all))
-        .withColumn("has_mapping", F.size(terms_all) > 0)
-    )
+    return df.select(
+        "*",
+        F.array_join("valid_names", ",").alias("cohort_phenotypes"),
+        F.concat(mapped_groups, unmapped_groups).alias("disease_groups"),
+        F.size(terms_all).alias("n_mapped_terms"),
+    ).select("*", (F.col("n_mapped_terms") > 0).alias("has_mapping"))
 
 
 EVIDENCE_COLUMNS = [

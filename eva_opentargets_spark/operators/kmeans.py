@@ -77,20 +77,23 @@ def kmeans(
     centroids = [list(r["e"]) for r in seed_rows]
     dim = len(centroids[0])
     iters = 0
+    # ONE parsed expression for all dim per-dimension sums (array of
+    # aggregates): the former dim separate F.sum(F.element_at(...)) columns
+    # cost ~5 py4j round trips each PER ITERATION — pure driver latency in
+    # the Lloyd loop (guide §7.3). e[d] is 0-based GetArrayItem == the old
+    # element_at(e, d+1); the shuffle still carries dim scalar partial sums.
+    sums = F.expr("array(" + ",".join(f"sum(e[{d}])" for d in range(dim)) + ")")
     for _ in range(max_iters):
         iters += 1
         assigned = assign_cells(embeddings, centroids, id_col, vec_col)
         rows = (
             assigned.groupBy("cell")
-            .agg(
-                *[F.sum(F.element_at("e", d + 1)).alias(f"s{d}") for d in range(dim)],
-                F.count("*").alias("n"),
-            )
+            .agg(sums.alias("s"), F.count("*").alias("n"))
             .collect()
         )
         new_centroids = list(centroids)  # empty cells keep their centroid
         for r in rows:
-            new_centroids[r["cell"]] = [r[f"s{d}"] / r["n"] for d in range(dim)]
+            new_centroids[r["cell"]] = [r["s"][d] / r["n"] for d in range(dim)]
         shift = max(
             abs(a - b) for nc, oc in zip(new_centroids, centroids) for a, b in zip(nc, oc)
         )

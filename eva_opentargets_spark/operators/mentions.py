@@ -13,6 +13,8 @@ vocabulary. The UDF never mutates `text` (per-turn text-equality invariant).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
@@ -129,6 +131,14 @@ def mention_expr(vocabulary: list[str], text_col: str = "text") -> Column:
     return _bind_once(toks, compute)
 
 
+@lru_cache(maxsize=8)
+def _mention_expr_cached(vocab_key: tuple[str, ...]) -> Column:
+    """Memoized mention_expr (the expression depends only on the
+    vocabulary; rebuilding its InSet trees per query is pure driver
+    plan-construction latency)."""
+    return mention_expr(list(vocab_key))
+
+
 def make_extract_udf(vocabulary: list[str]):
     """Build the vectorized gazetteer UDF for a candidate-mention vocabulary.
 
@@ -204,7 +214,7 @@ def extract_turn_mentions(
     """
     valid = turn_filter()
     if len(vocabulary) <= GAZETTEER_EXPR_MAX_TERMS:
-        ms = mention_expr(vocabulary)
+        ms = _mention_expr_cached(tuple(vocabulary))
     else:
         ms = make_extract_udf(vocabulary)(F.col("text"))
     df = transcripts.select(

@@ -24,6 +24,8 @@ Reference semantics reproduced here:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .. import fixtures
@@ -82,8 +84,32 @@ def origin_groups_col(origins: Column) -> Column:
 def with_record_attrs(turns: DataFrame) -> DataFrame:
     """Annotate per-turn rows with the full record model. Input needs
     (conv_id, turn_idx); all outputs are deterministic column expressions
-    (zero shuffle, zero UDF)."""
-    d = doc_id_col()
+    (zero shuffle, zero UDF).
+
+    Round-6: the 24-step withColumn chain is batched into THREE selects —
+    each withColumn is a py4j round trip plus an analysis pass, and this
+    builder sits under every record-model query (kg_evidence construction
+    profiled at 4,607 py4j round trips, ~1.3 s of socket latency; guide
+    §7.3 driver latency). Later columns reference the `doc_id` ATTRIBUTE
+    (one regexp_extract per row) instead of re-deriving the expression.
+    The attribute column list is memoized (`_attr_select_cols`): Column
+    objects are immutable unresolved expressions bound to nothing, so one
+    build serves every invocation — plan CONSTRUCTION is pure driver
+    latency and this builder is invoked once per record-model query."""
+    attr_cols, origin_groups = _attr_select_cols()
+    with_origins = turns.select(
+        "*", doc_id_col().alias("doc_id")
+    ).select("*", *attr_cols)
+    # origin_groups in its own select: it references `origins` several
+    # times, so inlining the origins expression would multiply it
+    return with_origins.select("*", origin_groups)
+
+
+@lru_cache(maxsize=1)
+def _attr_select_cols():
+    """The record-attr select list (everything derived from the doc_id
+    attribute) plus the origin_groups column — built once per process."""
+    d = F.col("doc_id")
     sig_raw = _pick(fixtures.SIGNIFICANCE_RAW, d)
     sig_norm = normalize_significance(sig_raw)
     valid_sigs = F.filter(sig_norm, lambda s: ~s.isin(*sorted(fixtures.INVALID_SIGNIFICANCES)))
@@ -104,40 +130,35 @@ def with_record_attrs(turns: DataFrame) -> DataFrame:
     created_raw = F.concat(
         F.lit("created: 2024-"), F.lpad((d % 12 + 1).cast("string"), 2, "0"), F.lit("-15Z")
     )
-    return (
-        turns.withColumn("doc_id", d)
-        .withColumn("study_id", F.concat(F.lit("RCV"), pad))
-        .withColumn("variant_vcv_id", F.concat(F.lit("VCV"), pad))
-        .withColumn("origins", origins_col(F.col("doc_id")))
-        .withColumn("origin_groups", origin_groups_col(F.col("origins")))
-        .withColumn("review_status", review_status)
-        .withColumn("stars", stars.cast("int"))
-        .withColumn("significance_raw", sig_raw)
-        .withColumn("clinical_significances", F.array_join(valid_sigs, ","))
-        .withColumn("has_valid_significance", F.size(valid_sigs) > 0)
-        .withColumn("n_classifications", (F.lit(1) + (d % 23 == 0).cast("int")).cast("int"))
-        .withColumn("has_measure", has_measure)
-        .withColumn("has_complete_coordinates", has_coords)
-        .withColumn("variant_type", variant_type)
-        .withColumn("vcf_ref", vcf_ref)
-        .withColumn("vcf_alt", vcf_alt)
-        .withColumn("microsatellite_category", ms_category)
-        .withColumn("is_repeat_expansion", is_repeat_expansion_variant(ms_category))
-        .withColumn("rcv_key", F.when(has_measure, F.concat(F.lit("r"), (d % 31).cast("string"))))
-        .withColumn("coord_key", F.when(has_coords, F.concat(F.lit("v"), (d % 29).cast("string"))))
-        .withColumn("hgvs_key", F.when(has_measure, F.concat(F.lit("h"), (d % 17).cast("string"))))
-        .withColumn("variant_rs_id", F.when(d % 6 != 0, F.concat(F.lit("rs"), d.cast("string"))))
-        .withColumn("variant_nsv_id", F.when(d % 9 == 0, F.concat(F.lit("nsv"), d.cast("string"))))
-        .withColumn(
-            "literature",
-            F.when(d % 4 == 0, F.concat(F.lit("PMID:"), pm1))
-            .when(d % 4 == 1, F.concat(F.lit("PMID:"), pm1, F.lit(",PMID:"), pm2)),
-        )
-        .withColumn("release_date", format_creation_date(created_raw))
-        .withColumn(
-            "allelic_requirements", F.when(d % 11 == 0, F.lit("autosomal dominant"))
-        )
-    )
+    attr_cols = [
+        F.concat(F.lit("RCV"), pad).alias("study_id"),
+        F.concat(F.lit("VCV"), pad).alias("variant_vcv_id"),
+        origins_col(d).alias("origins"),
+        review_status.alias("review_status"),
+        stars.cast("int").alias("stars"),
+        sig_raw.alias("significance_raw"),
+        F.array_join(valid_sigs, ",").alias("clinical_significances"),
+        (F.size(valid_sigs) > 0).alias("has_valid_significance"),
+        (F.lit(1) + (d % 23 == 0).cast("int")).cast("int").alias("n_classifications"),
+        has_measure.alias("has_measure"),
+        has_coords.alias("has_complete_coordinates"),
+        variant_type.alias("variant_type"),
+        vcf_ref.alias("vcf_ref"),
+        vcf_alt.alias("vcf_alt"),
+        ms_category.alias("microsatellite_category"),
+        is_repeat_expansion_variant(ms_category).alias("is_repeat_expansion"),
+        F.when(has_measure, F.concat(F.lit("r"), (d % 31).cast("string"))).alias("rcv_key"),
+        F.when(has_coords, F.concat(F.lit("v"), (d % 29).cast("string"))).alias("coord_key"),
+        F.when(has_measure, F.concat(F.lit("h"), (d % 17).cast("string"))).alias("hgvs_key"),
+        F.when(d % 6 != 0, F.concat(F.lit("rs"), d.cast("string"))).alias("variant_rs_id"),
+        F.when(d % 9 == 0, F.concat(F.lit("nsv"), d.cast("string"))).alias("variant_nsv_id"),
+        F.when(d % 4 == 0, F.concat(F.lit("PMID:"), pm1))
+        .when(d % 4 == 1, F.concat(F.lit("PMID:"), pm1, F.lit(",PMID:"), pm2))
+        .alias("literature"),
+        format_creation_date(created_raw).alias("release_date"),
+        F.when(d % 11 == 0, F.lit("autosomal dominant")).alias("allelic_requirements"),
+    ]
+    return attr_cols, origin_groups_col(F.col("origins")).alias("origin_groups")
 
 
 # --- DuckDB twins (generated from the same constants) ---------------------

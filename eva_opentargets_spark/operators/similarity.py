@@ -16,6 +16,7 @@ At 100 TB the brute-force path is a broadcast-nested-loop over a pruned
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -105,6 +106,14 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8,
     silent plan-time job a production pipeline must not contain.
     """
     v = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e"))
+    return v.select("vid", _lsh_sig_col(n_planes, dim).alias("bucket"))
+
+
+@lru_cache(maxsize=16)
+def _lsh_sig_col(n_planes: int, dim: int) -> F.Column:
+    """The n_planes-bit signature expression over the `e` attribute —
+    memoized (n_planes x dim literal weights are pure plan-construction
+    py4j latency; the expression depends only on its args)."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.aggregate(
@@ -117,7 +126,7 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8,
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
-    return v.select("vid", sig.alias("bucket"))
+    return sig
 
 
 def ivf_cells(
@@ -277,6 +286,27 @@ def lsh_config_for(
     return n_planes, max(1, min(max_tables, tables))
 
 
+@lru_cache(maxsize=8)
+def _nd_table_structs(n_tables: int, n_planes: int, dim: int) -> list:
+    """The per-table (t, bucket-signature) struct expressions over the `e`
+    attribute — memoized: n_tables x n_planes x dim literal weights make
+    this the heaviest plan-construction block in the dedup family
+    (embedding_near_dups construct measured 1.5 s before caching)."""
+    tables = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            w = lit_double_array([nd_weight(t, p, d) for d in range(dim)])
+            proj = F.aggregate(
+                F.zip_with(F.col("e"), w, lambda x, wd: x * wd),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+    return tables
+
+
 def nd_weight(table: int, plane: int, dim: int) -> float:
     """Deterministic hyperplane weight in [-1, 1) for the near-dup LSH
     tables, computed DRIVER-side (md5 of 'nd:<table>:<plane>:<dim>') and
@@ -334,24 +364,15 @@ def embedding_near_dups(
     # the signature computation is narrow, so a single-split input would
     # serialize all 48 hyperplane projections onto one core (measured
     # 10.9 -> 7.2 s at sf0.1/local[32] with the guard)
+    from ..session import estimated_input_splits
+
     parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
-    if embeddings.rdd.getNumPartitions() < parallelism:
+    if estimated_input_splits(embeddings) < parallelism:
         embeddings = embeddings.repartition(parallelism, id_col)
     v = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
     )
-    tables = []
-    for t in range(n_tables):
-        sig = F.lit(0).cast("long")
-        for p in range(n_planes):
-            w = lit_double_array([nd_weight(t, p, d) for d in range(dim)])
-            proj = F.aggregate(
-                F.zip_with(F.col("e"), w, lambda x, wd: x * wd),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
-        tables.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+    tables = _nd_table_structs(n_tables, n_planes, dim)
     buckets = v.select("vid", F.explode(F.array(*tables)).alias("tb")).select(
         "vid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
     )

@@ -13,6 +13,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def estimated_input_splits(df) -> int:
+    """Cheap estimate of how many scan tasks a DataFrame's input will
+    produce: optimizer plan-size statistics / maxPartitionBytes. Used by
+    the input-splits-vs-cores repartition guards (narrow in-row chains
+    inherit input partitioning, which serializes them on the single-file
+    bench corpus). Round-6: the old probe — `df.rdd.getNumPartitions()` —
+    forced a full plan->RDD conversion costing ~160 ms of driver latency
+    PER QUERY CONSTRUCTION; plan statistics answer the same coarse
+    question (are there far fewer splits than cores?) in ~1 ms. For a
+    parquet scan sizeInBytes is the exact file-size sum, so the estimate
+    matches Spark's own split math to within openCost rounding; both
+    over- and under-estimates only move a heuristic whose two outcomes
+    are 'repartition to cores' vs 'inherit input layout'."""
+    jqe = df._jdf.queryExecution()
+    size = int(str(jqe.optimizedPlan().stats().sizeInBytes()))
+    conf = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    unit = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}
+    low = conf.strip().lower()
+    mult, digits = 1, low
+    for suffix in ("kb", "mb", "gb", "k", "m", "g", "b"):
+        if low.endswith(suffix):
+            mult, digits = unit[suffix[0]], low[: -len(suffix)]
+            break
+    max_bytes = max(1, int(digits) * mult)
+    return max(1, (size + max_bytes - 1) // max_bytes)
+
+
 def get_spark(
     app_name: str = "eva_opentargets_spark",
     master: str | None = None,

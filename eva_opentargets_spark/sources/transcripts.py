@@ -33,8 +33,10 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under-parallelizes the scan (the testdata is one parquet file = 1-2
     # input splits, which would serialize the extraction UDF onto 2 cores).
     # A properly bucketed production table skips this shuffle entirely.
+    from ..session import estimated_input_splits
+
     n_parts = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < n_parts // 2:
+    if estimated_input_splits(docs) < n_parts // 2:
         docs = docs.repartition(n_parts, (F.col("doc_id") % N_CONVERSATIONS))
     return docs.select(
         F.concat(F.lit("c"), F.lpad((F.col("doc_id") % N_CONVERSATIONS).cast("string"), 4, "0")).alias("conv_id"),
