@@ -335,9 +335,13 @@ def link_cascade(
     )
     surface = surface.withColumn("label_fold", _fold(F.col("label_norm")))
     is_exact = F.col("mention_norm") == F.col("label_norm")
+    # LEFT join (round 6): unmatched mentions keep a row with NULL term_id
+    # (count_distinct ignores it -> n_fold = 0), so the unresolved
+    # remainder is a FILTER of this one aggregate — no anti-join, no extra
+    # broadcast build on the critical path.
     tier12 = (
         mentions.withColumn("mention_fold", _fold(F.col("mention_norm")))
-        .join(F.broadcast(surface), F.col("mention_fold") == F.col("label_fold"), "inner")
+        .join(F.broadcast(surface), F.col("mention_fold") == F.col("label_fold"), "left")
         .groupBy("mention_norm")
         .agg(
             F.count_distinct(F.when(is_exact, F.col("term_id"))).alias("n_exact"),
@@ -345,6 +349,7 @@ def link_cascade(
             F.count_distinct("term_id").alias("n_fold"),
             F.min("term_id").alias("fold_term"),
         )
+        .persist()
     )
 
     def _tier(term_col: str, match_type: str) -> list:
@@ -360,13 +365,19 @@ def link_cascade(
     normalized = tier12.filter(
         (F.col("n_exact") != 1) & (F.col("n_fold") == 1)
     ).select(*_tier("fold_term", "normalized"))
-    linked12 = tier12.filter(
-        (F.col("n_exact") == 1) | (F.col("n_fold") == 1)
+    unresolved1 = tier12.filter(
+        (F.col("n_exact") != 1) & (F.col("n_fold") != 1)
     ).select("mention_norm")
-    unresolved1 = mentions.join(F.broadcast(linked12), "mention_norm", "left_anti").persist()
 
     if fuzzy_path == "auto":
-        fuzzy_path = "arrow" if terms.count() > ARROW_FUZZY_TERM_THRESHOLD else "jvm"
+        # dictionary row count for the Arrow-vs-JVM gate, cached on the
+        # (memoized) terms frame so repeated cascade builds in one session
+        # pay the count job once
+        n_terms = getattr(terms, "_cascade_term_count", None)
+        if n_terms is None:
+            n_terms = terms.count()
+            terms._cascade_term_count = n_terms
+        fuzzy_path = "arrow" if n_terms > ARROW_FUZZY_TERM_THRESHOLD else "jvm"
     if fuzzy_path == "arrow":
         from .fuzzy_udf import fuzzy_candidates_arrow
 
@@ -375,34 +386,42 @@ def link_cascade(
     else:
         cands = fuzzy_candidates(unresolved1, terms).persist()
 
-    # --- Tiers 3-5 from the ONE persisted candidate table, without the
-    # per-tier anti-join ladder (round 6): the xref gate (has candidates,
-    # NONE current) and the fuzzy acceptance rule (requires a CURRENT
-    # candidate) are mutually exclusive, so link_xref over unresolved1
-    # equals the old link_xref over the post-fuzzy remainder exactly.
-    # Only the replacement tier needs a precedence guard (an obsolete
-    # lev==0 candidate coexists with other current/xref-resolving
-    # candidates), expressed as one anti-join on the union of tier-3/4
-    # mention sets — replacing three chained anti-joins + two persists.
-    fuzzy = link_fuzzy(cands)
-    xref = link_xref(unresolved1, cands, xrefs, terms)
-    linked34 = (
-        fuzzy.select("mention_norm").unionByName(xref.select("mention_norm")).distinct()
+    # --- Tiers 3-5 from the ONE persisted candidate table, with tier
+    # PRECEDENCE as a window instead of an anti-join ladder (round 6):
+    # * fuzzy and xref mention sets are disjoint by construction — the
+    #   xref gate (has candidates, NONE current) and fuzzy acceptance
+    #   (REQUIRES a current candidate) are mutually exclusive, so
+    #   link_xref over unresolved1 equals the old post-fuzzy run exactly;
+    # * replacement is the only tier needing a guard (an obsolete lev==0
+    #   candidate can coexist with other current/xref-resolving ones):
+    #   min-tier-per-mention over the union keeps a replacement row only
+    #   when its mention has no tier-3/4 row — the old unresolved3
+    #   membership, without the two chained broadcast anti-joins.
+    fuzzy = link_fuzzy(cands).withColumn("tier", F.lit(3))
+    xref = link_xref(unresolved1, cands, xrefs, terms).withColumn("tier", F.lit(4))
+    repl = link_replacement(unresolved1, cands, terms).withColumn("tier", F.lit(5))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("mention_norm")
+    links345 = (
+        fuzzy.unionByName(xref)
+        .unionByName(repl)
+        .withColumn("__min_tier", F.min("tier").over(w))
+        .filter(F.col("tier") == F.col("__min_tier"))
+        .select(*LINK_COLUMNS)
     )
-    unresolved3 = unresolved1.join(F.broadcast(linked34), "mention_norm", "left_anti")
-    repl = link_replacement(unresolved3, cands, terms)
-    unresolved4 = unresolved3.join(F.broadcast(repl), "mention_norm", "left_anti")
 
     links = (
-        exact.unionByName(normalized)
-        .unionByName(fuzzy)
-        .unionByName(xref)
-        .unionByName(repl)
-        .select(*LINK_COLUMNS)
+        exact.unionByName(normalized).unionByName(links345).select(*LINK_COLUMNS)
     ).persist()
+    # the final remainder is LAZY (only kg_unmapped/curation consumers
+    # materialize it): unresolved1 minus every tier-3/4/5-linked mention
+    unresolved4 = unresolved1.join(
+        links345.select("mention_norm").distinct(), "mention_norm", "left_anti"
+    )
     # record what we persisted so callers can release executor memory after
     # the run (round-1 verdict: the cascade leaked 6 persists per invocation)
-    links._cascade_persisted = [mentions, unresolved1, cands, links]
+    links._cascade_persisted = [mentions, tier12, cands, links]
     return links, cands, unresolved4
 
 

@@ -11,12 +11,22 @@ Loaders also cover the reference's TSV shapes:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import fixtures
 from ..schemas import ONTOLOGY_TERMS, ONTOLOGY_XREFS, TRAIT_MAPPINGS
 
+# Round-6: the demo dictionaries are memoized per session and coalesced to
+# ONE slice. createDataFrame defaults to defaultParallelism slices, so every
+# tiny dictionary job (broadcast builds, the cascade's dictionary-grain
+# aggregations) was launching 32 tasks for ~30 rows — measured 145 ms vs
+# 62 ms per trivial job at local[32]. Memoization also lets the cascade
+# cache the dictionary row count (its fuzzy-path gate) on the frame itself.
 
+
+@lru_cache(maxsize=4)
 def demo_terms(spark: SparkSession) -> DataFrame:
     syns: dict[str, list[str]] = {}
     for tid, syn in fixtures.TERM_SYNONYMS:
@@ -25,23 +35,26 @@ def demo_terms(spark: SparkSession) -> DataFrame:
         (tid, iri, ont, label, sorted(syns[tid]) if tid in syns else None, in_t, obs, rep)
         for tid, iri, ont, label, in_t, obs, rep in fixtures.ONTOLOGY_TERMS
     ]
-    return spark.createDataFrame(rows, ONTOLOGY_TERMS)
+    return spark.createDataFrame(rows, ONTOLOGY_TERMS).coalesce(1)
 
 
+@lru_cache(maxsize=4)
 def demo_xrefs(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(fixtures.ONTOLOGY_XREFS, ONTOLOGY_XREFS)
+    return spark.createDataFrame(fixtures.ONTOLOGY_XREFS, ONTOLOGY_XREFS).coalesce(1)
 
 
+@lru_cache(maxsize=4)
 def demo_previous_mappings(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(fixtures.PREVIOUS_MAPPINGS, TRAIT_MAPPINGS)
+    return spark.createDataFrame(fixtures.PREVIOUS_MAPPINGS, TRAIT_MAPPINGS).coalesce(1)
 
 
+@lru_cache(maxsize=4)
 def demo_is_a(spark: SparkSession) -> DataFrame:
     """is_a hierarchy edges (parent_id, child_id) — input of the
     descendants-search operator (operators/hierarchy.py)."""
     return spark.createDataFrame(
         fixtures.ONTOLOGY_IS_A, "parent_id string, child_id string"
-    )
+    ).coalesce(1)
 
 
 def load_mapping_tsv(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
