@@ -144,7 +144,13 @@ def apply_merges(docs: DataFrame, merges: list[tuple[str, str]],
                 F.lit(f"{SEP}{lhs}{SEP}{SEP}{rhs}{SEP}"),
                 F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
             )
-        return F.split(F.regexp_replace(s, f"^{SEP}|{SEP}$", ""), SEP + SEP)
+        # SEP-bearing words are excluded on both engines by contract (the
+        # oracle's inner join to the SEP-filtered vocab drops them); emit
+        # no tokens instead of a corrupted decomposition (round-5 ADVICE #1)
+        return F.when(
+            ~w.contains(SEP),
+            F.split(F.regexp_replace(s, f"^{SEP}|{SEP}$", ""), SEP + SEP),
+        ).otherwise(F.array().cast("array<string>"))
 
     toks = F.flatten(
         F.transform(F.split(F.lower(F.col(text_col)), " "), tokenize_word)

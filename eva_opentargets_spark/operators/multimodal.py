@@ -111,6 +111,11 @@ def _ppm_raster(content: bytes, start: int = 0):
     if len(tokens) != 3:
         raise ValueError("truncated PPM header")
     width, height, maxval = tokens
+    if maxval > 255:
+        # 2-byte-per-sample P6 is valid PPM but unimplemented here; the
+        # 1-byte slice math below would silently misparse it (round-5
+        # ADVICE #3) — keep the module's honest-NotImplementedError posture
+        raise NotImplementedError("P6 with maxval > 255 (2-byte samples) unsupported")
     pos += 1  # single whitespace after maxval
     raster = content[pos : pos + width * height * 3]
     if len(raster) < width * height * 3:

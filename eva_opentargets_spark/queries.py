@@ -881,8 +881,12 @@ def orders_by_nation(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    # broadcast only the 25-row nation dimension: customer is the
+    # 150k x SF side of TPC-H, so customer x orders must stay a shuffled
+    # (AQE-decided) join at any real scale factor (round-5 verdict #5 —
+    # the old broadcast(customer) contradicted the repo's own discipline)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

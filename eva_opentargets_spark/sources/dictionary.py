@@ -18,12 +18,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .. import fixtures
 from ..schemas import ONTOLOGY_TERMS, ONTOLOGY_XREFS, TRAIT_MAPPINGS
 
-# Round-6: the demo dictionaries are memoized per session and coalesced to
-# ONE slice. createDataFrame defaults to defaultParallelism slices, so every
-# tiny dictionary job (broadcast builds, the cascade's dictionary-grain
-# aggregations) was launching 32 tasks for ~30 rows — measured 145 ms vs
-# 62 ms per trivial job at local[32]. Memoization also lets the cascade
-# cache the dictionary row count (its fuzzy-path gate) on the frame itself.
+# Round-6: the demo dictionaries are memoized per session and created as
+# SINGLE-SLICE local frames. createDataFrame defaults to defaultParallelism
+# pickled slices, so every tiny dictionary job launched 32 tasks for ~30
+# rows (145 ms vs 62 ms per trivial job at local[32]) — and coalesce(1)
+# over those slices is a TRAP: the one task iterates 32 parent partitions,
+# each opening its own Python-runner round trip (~3.5-4.5 s per
+# materialization, measured; this briefly cost the flagship 3x).
+# parallelize(rows, 1) gives one slice = one python round trip.
+# Memoization also lets the cascade cache the dictionary row count (its
+# fuzzy-path gate) on the frame itself.
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Single-slice local dimension frame (see module comment)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
 @lru_cache(maxsize=4)
@@ -35,26 +44,24 @@ def demo_terms(spark: SparkSession) -> DataFrame:
         (tid, iri, ont, label, sorted(syns[tid]) if tid in syns else None, in_t, obs, rep)
         for tid, iri, ont, label, in_t, obs, rep in fixtures.ONTOLOGY_TERMS
     ]
-    return spark.createDataFrame(rows, ONTOLOGY_TERMS).coalesce(1)
+    return local_df(spark, rows, ONTOLOGY_TERMS)
 
 
 @lru_cache(maxsize=4)
 def demo_xrefs(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(fixtures.ONTOLOGY_XREFS, ONTOLOGY_XREFS).coalesce(1)
+    return local_df(spark, fixtures.ONTOLOGY_XREFS, ONTOLOGY_XREFS)
 
 
 @lru_cache(maxsize=4)
 def demo_previous_mappings(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(fixtures.PREVIOUS_MAPPINGS, TRAIT_MAPPINGS).coalesce(1)
+    return local_df(spark, fixtures.PREVIOUS_MAPPINGS, TRAIT_MAPPINGS)
 
 
 @lru_cache(maxsize=4)
 def demo_is_a(spark: SparkSession) -> DataFrame:
     """is_a hierarchy edges (parent_id, child_id) — input of the
     descendants-search operator (operators/hierarchy.py)."""
-    return spark.createDataFrame(
-        fixtures.ONTOLOGY_IS_A, "parent_id string, child_id string"
-    ).coalesce(1)
+    return local_df(spark, fixtures.ONTOLOGY_IS_A, "parent_id string, child_id string")
 
 
 def load_mapping_tsv(spark: SparkSession, path: str) -> tuple[DataFrame, str]:

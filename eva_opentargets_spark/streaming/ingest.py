@@ -219,7 +219,13 @@ def stream_near_dup_with_update(
                 )
                 .distinct()
             )
-            pairs.write.mode("append").parquet(pairs_path)
+            # batch_id on pair rows too (round-5 ADVICE #4): a retried
+            # foreachBatch replay appends duplicate pair rows; with the
+            # batch id present, compaction can dedup pairs exactly like
+            # bands instead of relying on downstream dedup
+            pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                pairs_path
+            )
         bands.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             bands_path
         )
