@@ -161,8 +161,11 @@ def minhash_candidate_pairs(
     """LSH banding: docs sharing any band key become candidate pairs
     (doc_a < doc_b). The O(n^2) problem becomes a shuffle on band_key —
     which, with the in-row signature computation, is the FIRST shuffle of
-    the whole dedup path."""
-    all_bands = band_table(docs, n_hashes, n_bands)
+    the whole dedup path. The band table is persisted for the self-join's
+    two sides (round 6: the in-row 64-hash signature was otherwise
+    computed twice; 1.57 -> 0.97 s at sf0.1) — cache lifetime is tied to
+    the result frame's lineage, as in winnow/near_dup_clusters."""
+    all_bands = band_table(docs, n_hashes, n_bands).persist()
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     return (
@@ -198,7 +201,7 @@ def incremental_minhash_pairs(
     minhash_candidate_pairs(corpus + new) to pairs touching a new doc —
     the equality is pytest-pinned."""
     all_docs = corpus_docs.unionByName(new_docs)
-    all_bands = band_table(all_docs, n_hashes, n_bands)
+    all_bands = band_table(all_docs, n_hashes, n_bands).persist()
     new_ids = new_docs.select("doc_id")
     new_bands = all_bands.join(F.broadcast(new_ids), "doc_id", "inner")
     a, b = new_bands.alias("a"), all_bands.alias("b")
@@ -248,18 +251,26 @@ def winnow_substring_pairs(
     per-key fanout <= max_df^2 — never a cartesian, same discipline as
     blocked_jaccard_pairs."""
     from ..functions.text import winnow_fingerprints
+    from ..session import estimated_input_splits
 
-    # One hash exchange on fp right after the (expensive, in-row)
-    # fingerprint build: every downstream consumer — the df aggregation,
-    # the anti-join probe, and BOTH sides of the pair self-join, all keyed
-    # on fp — reuses this single exchange, so the O(len*w) fingerprint
-    # expression is evaluated ONCE per doc instead of once per consumer
-    # (measured 11.2 -> ~6 s at sf0.1; the same exchange-reuse discipline
-    # corpus_curate pinned at 10x).
+    # Build the (expensive, in-row) fingerprint table IN PARALLEL (the
+    # input-splits-vs-cores guard, as in minhash_signature_array) and
+    # PERSIST it for its four consumers — the df aggregation, the
+    # anti-join probe, and both sides of the pair self-join. Round 6: the
+    # previous single-exchange-reuse form relied on the shared hash
+    # repartition being computed once, but AQE's per-stage execution does
+    # not reliably reuse it across the consumers inside one query
+    # (measured 5.3 s as-is vs 1.3 s persisted at sf0.1, identical rows).
+    # The cache lives as long as the result frame's lineage
+    # (ContextCleaner reclaims it on GC) — same posture as
+    # near_dup_clusters' pair persist.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if estimated_input_splits(docs) < parallelism:
+        docs = docs.repartition(parallelism, id_col)
     fps = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(winnow_fingerprints(F.lower(F.col(text_col)))).alias("fp"),
-    ).repartition(F.col("fp"))
+    ).persist()
     heavy = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))
@@ -448,6 +459,9 @@ def hamming_near_dups(sim: DataFrame, max_hamming: int = 3, bits: int = 32) -> D
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
+    # persisted for the self-join's two sides (round 6: the upstream
+    # in-row SimHash vote expression was otherwise evaluated twice;
+    # 1.41 -> 0.70 s at sf0.1) — lineage-held cache, as elsewhere
     chunked = sim.select(
         "doc_id",
         "simhash",
@@ -459,7 +473,7 @@ def hamming_near_dups(sim: DataFrame, max_hamming: int = 3, bits: int = 32) -> D
                 ]
             )
         ).alias("chunk", "ckey"),
-    )
+    ).persist()
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(
@@ -522,6 +536,18 @@ def near_dup_clusters(
     (ContextCleaner reclaims it on GC), not leaked into the session."""
     nodes = docs.select(F.col(id_col).alias("doc_id"))
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Persist the pair list once when it will be consumed by several
+    # propagation rounds (round 6): AQE's stage reuse does NOT cover the
+    # pair generator across the per-round join queries, so every round was
+    # re-running the band self-join + distinct (measured: the curate
+    # funnel 6.1 -> 3.5 s at sf0.1 with the persist). Storage is
+    # MEMORY_AND_DISK and lives as long as the result frame's lineage
+    # (ContextCleaner reclaims it on GC); until_converged callers already
+    # own release via persisted_out.
+    if rounds > 1 or until_converged:
+        e = e.persist()
+        if persisted_out is not None:
+            persisted_out.append(e)
     # Self-loop edges (round 6): with (x, x) in the edge set for every node,
     # min-over-neighborhood INCLUDES the node's own label, so a round is ONE
     # equi-join + ONE partial-aggregated min — the former second join

@@ -373,9 +373,11 @@ def embedding_near_dups(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
     )
     tables = _nd_table_structs(n_tables, n_planes, dim)
+    # persisted for the self-join's two sides (round 6): the n_tables x
+    # n_planes in-row projections were otherwise computed twice per vector
     buckets = v.select("vid", F.explode(F.array(*tables)).alias("tb")).select(
         "vid", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
-    )
+    ).persist()
     cands = (
         buckets.alias("a")
         .join(buckets.alias("c"), ["t", "b"])
