@@ -50,7 +50,15 @@ class PipelineResult:
     candidates: DataFrame
     unresolved: DataFrame
     triples: DataFrame
-    curation: DataFrame
+
+    @property
+    def curation(self) -> DataFrame:
+        """W2-W4 curation sheet, CONSTRUCTED ON FIRST ACCESS (round 6):
+        building its plan costs py4j round trips on every pipeline
+        invocation while only curation consumers read it."""
+        if getattr(self, "_curation", None) is None:
+            self._curation = curation_table(self.unresolved, self.candidates, self.distinct)
+        return self._curation
 
     def unpersist(self) -> None:
         """Release the executor-memory footprint of a finished run (the
@@ -118,7 +126,6 @@ def run_pipeline(
     # cluster-wide dropDuplicates
     per_turn = unique_per_turn(extracted)
     triples = emit_triples(per_turn, links, unique_per_turn=True)
-    curation = curation_table(unresolved, candidates, distinct)
     return PipelineResult(
         transcripts=transcripts,
         extracted=extracted,
@@ -130,7 +137,6 @@ def run_pipeline(
         candidates=candidates,
         unresolved=unresolved,
         triples=triples,
-        curation=curation,
     )
 
 
