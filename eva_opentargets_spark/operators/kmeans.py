@@ -70,9 +70,14 @@ def kmeans(
     broadcast centroids; the update is a single groupBy(cell) with `dim`
     scalar SUMs (map-side partial aggregation, shuffle of
     k x n_partitions x dim doubles)."""
+    # Persist the (vid, e) projection for the loop: seeds + every Lloyd
+    # iteration re-scans it (round 6; cast-from-parquet paid per job
+    # otherwise). CacheManager dedupes identical plans across invocations,
+    # so repeated kmeans() calls share one entry; K x dim doubles per row,
+    # MEMORY_AND_DISK.
     v = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
-    )
+    ).persist()
     seed_rows = v.orderBy("vid").limit(k).collect()
     centroids = [list(r["e"]) for r in seed_rows]
     dim = len(centroids[0])
