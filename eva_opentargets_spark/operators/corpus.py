@@ -232,7 +232,9 @@ def boilerplate_score(
     to broadcast; here it stays a plain equi-join so the plan is the same
     shape at any scale. The corpus is never self-joined."""
     sh = _word_shingles(text_col, n)
-    doc_sh = docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    # persisted for its two consumers (df aggregation + flag join-back):
+    # the in-row shingle build was otherwise evaluated twice (round 6)
+    doc_sh = docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh")).persist()
     frequent = (
         doc_sh.groupBy("sh")
         .agg(F.count("*").alias("df"))

@@ -28,19 +28,27 @@ def pagerank(
     out-edges) redistribute their mass uniformly — total mass stays 1.
     Returns (node, rank) with rank rounded to 6 decimals (PR values are
     O(1/N); 6 decimals is the cross-engine determinism boundary)."""
+    # Round-6 persists: `edges` feeds four consumers (both node
+    # projections, out-weights, normalized shares) and each round
+    # references `pr` twice (contribution join + dangling-mass anti-join),
+    # doubling the unrolled subtree per iteration — the near_dup_clusters
+    # pathology. Everything persisted here is vocab-grain (Zipf-small at
+    # any corpus size); caches ride the result frame's lineage.
+    edges = edges.persist()
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
-    nodes = src_nodes.unionByName(dst_nodes).distinct()
+    nodes = src_nodes.unionByName(dst_nodes).distinct().persist()
     n_df = nodes.agg(F.count("*").cast("double").alias("n"))
-    outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("outw")).persist()
     norm = edges.join(outw, "src").select(
         "src", "dst", (F.col("weight") / F.col("outw")).alias("share")
-    )
+    ).persist()
     pr = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     d = float(damping)
     for _ in range(n_iter):
+        pr = pr.persist()
         contrib = (
             norm.join(pr.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))

@@ -124,7 +124,11 @@ def kg_curation(spark, sf_dir):
     from .operators.records import with_record_attrs
     from .sources.dictionary import demo_previous_mappings
 
-    res = _pipeline(spark, sf_dir)
+    # persist_extracted: this query consumes the extraction THREE times
+    # (cascade distinct path, nt_mentions, the curation sheet's
+    # distinct-mention join), so caching the one corpus-scan table wins
+    # where the two-consumer flagship path prefers recompute (round 6)
+    res = run_pipeline(spark, derive_transcripts(spark, sf_dir), persist_extracted=True)
     # NT-expansion association from the SAME extraction pass the pipeline
     # made: mentions appearing in valid measured turns whose variant is a
     # repeat expansion (trait.associated_with_nt_expansion analog)
