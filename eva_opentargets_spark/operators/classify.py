@@ -40,7 +40,10 @@ def nb_train(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    tok_counts = toks.groupBy("label", "tok").agg(F.count("*").alias("c"))
+    # persisted: three consumers (class totals, vocab size, the
+    # likelihood projection) each re-ran the corpus-scale explode+groupBy
+    # otherwise (round 6); the table is (class x token)-grain — Zipf-small
+    tok_counts = toks.groupBy("label", "tok").agg(F.count("*").alias("c")).persist()
     class_tokens = tok_counts.groupBy("label").agg(F.sum("c").alias("t_label"))
     vocab_size = tok_counts.select("tok").distinct().agg(
         F.count("*").alias("v")

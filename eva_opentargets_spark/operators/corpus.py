@@ -332,7 +332,12 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    # vocab persisted (Zipf-small at any corpus size): it feeds both the
+    # corpus-total aggregate and the scoring join, which otherwise re-ran
+    # the token-grain groupBy twice (round 6). The token-grain `toks` view
+    # is deliberately NOT cached: a corpus-scale exploded cache would cost
+    # more to write than its two narrow recomputes (guide §5).
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf")).persist()
     total = vocab.agg(F.sum("tf").alias("total_tf"))
     scored = vocab.crossJoin(F.broadcast(total)).select(
         "tok", (-F.log(F.col("tf") / F.col("total_tf"))).alias("neg_lp")
