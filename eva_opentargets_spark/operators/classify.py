@@ -40,10 +40,11 @@ def nb_train(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    # persisted: three consumers (class totals, vocab size, the
-    # likelihood projection) each re-ran the corpus-scale explode+groupBy
-    # otherwise (round 6); the table is (class x token)-grain — Zipf-small
-    tok_counts = toks.groupBy("label", "tok").agg(F.count("*").alias("c")).persist()
+    # NB: deliberately NOT persisted (round-6 A/B): tok_counts has three
+    # consumers, but the map-side partial aggregation collapses the token
+    # stream so cheaply that the cache barrier measured 2.77 s vs 1.02 s
+    # uncached at sf0.1 — same verdict as unigram_logprob's vocab
+    tok_counts = toks.groupBy("label", "tok").agg(F.count("*").alias("c"))
     class_tokens = tok_counts.groupBy("label").agg(F.sum("c").alias("t_label"))
     vocab_size = tok_counts.select("tok").distinct().agg(
         F.count("*").alias("v")

@@ -332,12 +332,13 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
-    # vocab persisted (Zipf-small at any corpus size): it feeds both the
-    # corpus-total aggregate and the scoring join, which otherwise re-ran
-    # the token-grain groupBy twice (round 6). The token-grain `toks` view
-    # is deliberately NOT cached: a corpus-scale exploded cache would cost
-    # more to write than its two narrow recomputes (guide §5).
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf")).persist()
+    # NB: deliberately NO persists here (round-6 A/B): caching the vocab
+    # measured 1.49 s vs 0.81 s uncached at sf0.1 — the map-side partial
+    # aggregation collapses the token stream so cheaply that the cache
+    # write/read barrier costs more than recomputing the groupBy for its
+    # two consumers; a corpus-scale `toks` cache loses for the same
+    # reason (guide §5: cache only when recompute beats memory pressure).
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     total = vocab.agg(F.sum("tf").alias("total_tf"))
     scored = vocab.crossJoin(F.broadcast(total)).select(
         "tok", (-F.log(F.col("tf") / F.col("total_tf"))).alias("neg_lp")
