@@ -19,6 +19,8 @@ Reference analogs:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -178,7 +180,21 @@ def with_disease_groups(
             )
             .drop("__dg")
         )
-    m = _mapping_map(mappings)
+    names, group_cols = _disease_group_cols(tuple(mappings), frozenset(stoplist))
+    return (
+        df.select("*", names)
+        .select("*", *group_cols)
+        .select("*", (F.col("n_mapped_terms") > 0).alias("has_mapping"))
+    )
+
+
+@lru_cache(maxsize=8)
+def _disease_group_cols(mapping_key: tuple, stoplist: frozenset):
+    """The literal-map disease-group column expressions, memoized per
+    (mappings, stoplist): the ~2x|mappings|-entry create_map plus the
+    nested higher-order transforms are pure driver plan-construction
+    latency, rebuilt identically for every record-model query (round 6)."""
+    m = _mapping_map(list(mapping_key))
     names = F.array_sort(
         F.array_distinct(
             F.filter(
@@ -186,8 +202,7 @@ def with_disease_groups(
                 lambda n: ~n.isin(*sorted(stoplist)),
             )
         )
-    )
-    df = df.select("*", names.alias("valid_names"))
+    ).alias("valid_names")
     terms_of = lambda n: F.coalesce(F.element_at(m, n), _empty_str_array())  # noqa: E731
     terms_all = F.array_sort(
         F.array_distinct(F.flatten(F.transform("valid_names", terms_of)))
@@ -205,12 +220,12 @@ def with_disease_groups(
             n.alias("disease_from_source"), F.lit(None).cast("string").alias("disease_mapped_id")
         ),
     )
-    return df.select(
-        "*",
+    group_cols = [
         F.array_join("valid_names", ",").alias("cohort_phenotypes"),
         F.concat(mapped_groups, unmapped_groups).alias("disease_groups"),
         F.size(terms_all).alias("n_mapped_terms"),
-    ).select("*", (F.col("n_mapped_terms") > 0).alias("has_mapping"))
+    ]
+    return names, group_cols
 
 
 EVIDENCE_COLUMNS = [

@@ -11,6 +11,8 @@ derive a deterministic transcript view from the synthetic `documents` table
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schemas import TRANSCRIPTS
@@ -38,7 +40,15 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = spark.sparkContext.defaultParallelism
     if estimated_input_splits(docs) < n_parts // 2:
         docs = docs.repartition(n_parts, (F.col("doc_id") % N_CONVERSATIONS))
-    return docs.select(
+    return docs.select(*_transcript_cols())
+
+
+@lru_cache(maxsize=1)
+def _transcript_cols() -> tuple:
+    """The static transcript-derivation select list, built once per
+    process (round 6: pure driver plan-construction latency — this
+    derivation fronts every kg_* query)."""
+    return (
         F.concat(F.lit("c"), F.lpad((F.col("doc_id") % N_CONVERSATIONS).cast("string"), 4, "0")).alias("conv_id"),
         (F.col("doc_id") / N_CONVERSATIONS).cast("int").alias("turn_idx"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("user"))
