@@ -18,6 +18,8 @@ consumers (the evidence product) never need a join-back on the turn key.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import fixtures
@@ -27,7 +29,16 @@ CONSEQUENCE_SCHEMA = "variant_id string, ensembl_gene_id string, gene_symbol str
 
 
 def demo_consequences(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(fixtures.CONSEQUENCES, CONSEQUENCE_SCHEMA)
+    return _demo_consequences(spark)
+
+
+@lru_cache(maxsize=4)
+def _demo_consequences(spark: SparkSession) -> DataFrame:
+    # single-slice + memoized, like the demo ontology dictionaries
+    # (sources/dictionary.py round-6 note)
+    from ..sources.dictionary import local_df
+
+    return local_df(spark, fixtures.CONSEQUENCES, CONSEQUENCE_SCHEMA)
 
 
 def load_consequences(spark: SparkSession, path: str) -> DataFrame:

@@ -8,6 +8,8 @@ before hashing).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import fixtures
@@ -159,10 +161,13 @@ def kg_curation(spark, sf_dir):
     )
 
 
+@lru_cache(maxsize=4)
 def _curated_mappings(spark):
+    # single-slice + memoized, like the demo ontology dictionaries
     from .schemas import TRAIT_MAPPINGS
+    from .sources.dictionary import local_df
 
-    return spark.createDataFrame(fixtures.CURATED_MAPPINGS, TRAIT_MAPPINGS)
+    return local_df(spark, fixtures.CURATED_MAPPINGS, TRAIT_MAPPINGS)
 
 
 def kg_curated_triples(spark, sf_dir):
