@@ -114,3 +114,26 @@ def test_cascade_early_exit_and_partition(spark, terms, xrefs):
 def test_cascade_golden(spark, terms, xrefs, mention, expected_terms):
     links, _, _ = link_cascade(_mentions(spark, [mention]), terms, xrefs)
     assert {r.term_id for r in links.collect()} == expected_terms
+
+
+def test_replacement_yields_to_fuzzy_precedence(spark, xrefs):
+    """Round-6 cascade rewrite pin: a mention whose lev==0 candidate is
+    obsolete-with-replacement AND that separately has a CURRENT accepted
+    fuzzy candidate must link only via the fuzzy tier — replacement runs
+    on the post-fuzzy remainder (the old anti-join ladder), now expressed
+    as min-tier-per-mention precedence."""
+    from eva_opentargets_spark.schemas import ONTOLOGY_TERMS
+
+    rows = [
+        # obsolete term whose label exactly equals the mention, replaced by EFO:9902
+        ("EFO:9901", "http://x/9901", "EFO", "twinkle", None, True, True, "EFO:9902"),
+        # current replacement target
+        ("EFO:9902", "http://x/9902", "EFO", "twinkle disorder", None, True, False, None),
+        # current term one edit away from the mention -> accepted HIGH fuzzy
+        ("EFO:9903", "http://x/9903", "EFO", "twinkles", None, True, False, None),
+    ]
+    terms = spark.createDataFrame(rows, ONTOLOGY_TERMS)
+    links, cands, unresolved = link_cascade(_mentions(spark, ["twinkle"]), terms, xrefs)
+    got = {(r.mention_norm, r.term_id, r.match_type) for r in links.collect()}
+    assert got == {("twinkle", "EFO:9903", "fuzzy")}
+    assert unresolved.count() == 0
