@@ -66,6 +66,19 @@ def get_spark(
             os.environ.get("SPARK_INITIAL_PARTITIONS", str(max(256, 8 * shuffle))),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-partition CACHED plans too (off by default): the round-6
+        # lineage-held persists (bpe vocab, band/fingerprint tables, cascade
+        # aggregates, propagation rounds) otherwise materialize at
+        # initialPartitionNum granularity no matter how small the data is —
+        # the 31-row BPE vocab cached as 256 partitions, so every merge-round
+        # job scheduled 256 tasks to scan 31 rows. With the flag, AQE sizes
+        # the cached plan by DATA (same advisory target as any shuffle), so
+        # dictionary-scale caches collapse to 1 task and corpus-scale caches
+        # keep their parallelism at any SF.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_CACHED_PLAN_AQE", "true"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
