@@ -20,7 +20,27 @@ measured by max centroid shift.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
+
+
+def _cents_sql(centroids) -> str | None:
+    """The centroid list as ONE SQL array<array<double>> literal. Python
+    repr round-trips doubles exactly and the D suffix keeps the parser in
+    DoubleType, so the literal carries the same values the lambda-built
+    form would. Returns None when any value is non-finite (SQL literals
+    can't spell NaN/Infinity) — callers fall back to the per-centroid
+    expression build."""
+    if not all(math.isfinite(x) for c in centroids for x in c):
+        return None
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
+        )
+        + ")"
+    )
 
 
 def _sq_dist(a, centroid: list[float]):
@@ -47,7 +67,21 @@ def assign_cells(
     v = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
     )
-    dists = F.array(*[_sq_dist(F.col("e"), c) for c in centroids])
+    cs = _cents_sql(centroids)
+    if cs is not None:
+        # ONE parsed expression for the whole distance array (round 6): the
+        # per-centroid _sq_dist build costs 2 Python-lambda conversions per
+        # centroid PER CALL — pure py4j driver latency inside the Lloyd
+        # loop, where this runs every iteration with fresh centroid
+        # literals. Same ZipWith/Aggregate ops in the same order, so the
+        # floating-point result is bit-identical (pinned by
+        # tests/test_kmeans equality case).
+        dists = F.expr(
+            f"transform({cs}, c -> aggregate(zip_with(e, c, (x, y) -> (x-y)*(x-y)),"
+            " 0.0D, (acc, v) -> acc + v))"
+        )
+    else:
+        dists = F.array(*[_sq_dist(F.col("e"), c) for c in centroids])
     # argmin with lowest-index tie-break: array_position finds the FIRST
     # occurrence of the minimum
     cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -155,14 +189,24 @@ def ivf_kmeans_topk(
     v = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
     )
-    ranked_cells = F.array_sort(
-        F.array(
-            *[
-                F.struct(_sq_dist(F.col("e"), c).alias("d"), F.lit(i).alias("cell"))
-                for i, c in enumerate(centroids)
-            ]
+    cs = _cents_sql(centroids)
+    if cs is not None:
+        # same single-parse discipline as assign_cells: transform's index
+        # lambda gives the 0-based cell id the enumerate() literal carried
+        ranked_cells = F.expr(
+            f"array_sort(transform({cs}, (c, i) -> struct("
+            "aggregate(zip_with(e, c, (x, y) -> (x-y)*(x-y)), 0.0D,"
+            " (acc, v) -> acc + v) AS d, i AS cell)))"
         )
-    )
+    else:
+        ranked_cells = F.array_sort(
+            F.array(
+                *[
+                    F.struct(_sq_dist(F.col("e"), c).alias("d"), F.lit(i).alias("cell"))
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        )
     def norm(col):
         return F.sqrt(
             F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
